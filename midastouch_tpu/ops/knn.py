@@ -1,0 +1,225 @@
+"""Brute-force nearest-neighbour / top-k device kernels.
+
+Replaces every tree structure in the reference with dense batched compute —
+the TPU-idiomatic choice for these sizes (≤100k points, ≤8-D keys):
+
+  * codebook SE3 nearest neighbour  — nanoflann KD-tree, 16 CPU threads
+    (reference tactile_tree/tactile_tree.py:43-58); here one streaming
+    argmin kernel over the on-HBM key table.
+  * particle→mesh min distance for drift pruning — sklearn KDTree
+    (reference modules/particle_filter.py:379-403); same kernel, 3-D keys.
+  * embedding top-k for evals / live-demo heatmaps — dense cosine + top_k.
+
+The Pallas kernel tiles queries on the grid and streams the point table
+through VMEM, carrying a running (min distance, argmin index) pair in
+scratch; the distance core is a (TQ × D) @ (D × TM) matmul on the MXU.
+A pure-XLA chunked fallback (`backend="xla"`) runs anywhere (CPU tests) and
+doubles as the correctness reference.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SENTINEL = 1.0e6  # padded points live here: far from any real query
+
+# Tile sizes: TQ queries per grid step, TM points per inner chunk.
+_TQ = 256
+_TM = 2048
+
+
+def _pad_axis(x: jax.Array, axis: int, multiple: int, value: float) -> jax.Array:
+    n = x.shape[axis]
+    rem = (-n) % multiple
+    if rem == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, rem)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+def _pad_dim(x: jax.Array) -> jax.Array:
+    """Pad feature dim to a multiple of 8 (f32 sublane) with zeros."""
+    return _pad_axis(x, 1, 8, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _nn_kernel(q_ref, p_ref, pn_ref, dist_ref, idx_ref, best_ref, besti_ref):
+    """One grid step: queries tile i vs points tile j.
+
+    q_ref:  (TQ, D)   query tile
+    p_ref:  (TM, D)   point tile
+    pn_ref: (1, TM)   precomputed ||p||^2 for the tile
+    dist_ref/idx_ref: (TQ, 1) outputs (written on the last j step)
+    best_ref/besti_ref: (TQ, 1) running minima scratch
+    """
+    j = pl.program_id(1)
+    nm = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        best_ref[:] = jnp.full_like(best_ref, jnp.inf)
+        besti_ref[:] = jnp.zeros_like(besti_ref)
+
+    scores = jax.lax.dot_general(
+        q_ref[:],
+        p_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (TQ, TM)
+    d = pn_ref[0, :][None, :] - 2.0 * scores  # ||p||^2 - 2 q.p  (drop ||q||^2)
+
+    tile_min = jnp.min(d, axis=1, keepdims=True)  # (TQ, 1)
+    tile_arg = jnp.argmin(d, axis=1).astype(jnp.int32)[:, None] + j * d.shape[1]
+
+    improved = tile_min < best_ref[:]
+    best_ref[:] = jnp.where(improved, tile_min, best_ref[:])
+    besti_ref[:] = jnp.where(improved, tile_arg, besti_ref[:])
+
+    @pl.when(j == nm - 1)
+    def _finish():
+        qn = jnp.sum(q_ref[:] * q_ref[:], axis=1, keepdims=True)
+        dist_ref[:] = jnp.maximum(best_ref[:] + qn, 0.0)
+        idx_ref[:] = besti_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("tq", "tm"))
+def _nn_pallas(queries: jax.Array, points: jax.Array, tq: int = _TQ, tm: int = _TM):
+    n = queries.shape[0]
+    q = _pad_dim(_pad_axis(queries.astype(jnp.float32), 0, tq, 0.0))
+    p = _pad_dim(_pad_axis(points.astype(jnp.float32), 0, tm, _SENTINEL))
+    pn = jnp.sum(p * p, axis=1)[None, :]  # (1, M)
+    npad, mpad, d = q.shape[0], p.shape[0], q.shape[1]
+
+    grid = (npad // tq, mpad // tm)
+    dist, idx = pl.pallas_call(
+        _nn_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tq, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tq, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((npad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((npad, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tq, 1), jnp.float32),
+            pltpu.VMEM((tq, 1), jnp.int32),
+        ],
+    )(q, p, pn)
+    return dist[:n, 0], idx[:n, 0]
+
+
+# ---------------------------------------------------------------------------
+# pure-XLA fallback / reference
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _nn_xla(queries: jax.Array, points: jax.Array, chunk: int = 1024):
+    q = _pad_axis(queries.astype(jnp.float32), 0, chunk, 0.0)
+    p = points.astype(jnp.float32)
+    pn = jnp.sum(p * p, axis=1)
+
+    def body(qc):
+        scores = qc @ p.T
+        d = pn[None, :] - 2.0 * scores
+        best = jnp.min(d, axis=1)
+        besti = jnp.argmin(d, axis=1).astype(jnp.int32)
+        return best + jnp.sum(qc * qc, axis=1), besti
+
+    nchunks = q.shape[0] // chunk
+    dist, idx = jax.lax.map(body, q.reshape(nchunks, chunk, -1))
+    n = queries.shape[0]
+    return jnp.maximum(dist.reshape(-1)[:n], 0.0), idx.reshape(-1)[:n]
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def nn_search(
+    queries: jax.Array, points: jax.Array, backend: str = "auto"
+) -> tuple[jax.Array, jax.Array]:
+    """Exact 1-NN: squared L2 distance + index of the closest point.
+
+    queries: (N, D), points: (M, D) -> (sqdist (N,), idx (N,)).
+    """
+    if backend == "auto":
+        backend = "pallas" if _on_tpu() else "xla"
+    if backend == "pallas":
+        return _nn_pallas(queries, points)
+    return _nn_xla(queries, points)
+
+
+def min_distance(
+    queries: jax.Array, points: jax.Array, backend: str = "auto"
+) -> jax.Array:
+    """Distance (not squared) from each query to its nearest point.
+
+    Replaces the reference's sklearn-KDTree drift check
+    (particle_filter.py:379-403)."""
+    sqdist, _ = nn_search(queries, points, backend=backend)
+    return jnp.sqrt(sqdist)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def knn_search(
+    queries: jax.Array, points: jax.Array, k: int, chunk: int = 512
+) -> tuple[jax.Array, jax.Array]:
+    """Exact k-NN via chunked dense distances + top_k (offline/eval path,
+    reference single_touch_test.py:35-73 uses k=25)."""
+    q = _pad_axis(queries.astype(jnp.float32), 0, chunk, 0.0)
+    p = points.astype(jnp.float32)
+    pn = jnp.sum(p * p, axis=1)
+
+    def body(qc):
+        d = pn[None, :] - 2.0 * (qc @ p.T) + jnp.sum(qc * qc, axis=1)[:, None]
+        neg, idx = jax.lax.top_k(-d, k)
+        return jnp.maximum(-neg, 0.0), idx.astype(jnp.int32)
+
+    nchunks = q.shape[0] // chunk
+    dist, idx = jax.lax.map(body, q.reshape(nchunks, chunk, -1))
+    n = queries.shape[0]
+    return (
+        dist.reshape(-1, k)[:n],
+        idx.reshape(-1, k)[:n],
+    )
+
+
+@jax.jit
+def cosine_similarity(query: jax.Array, targets: jax.Array) -> jax.Array:
+    """Cosine similarity of one query (D,) against rows of targets (N, D)
+    (reference particle_filter.py:449-469 uses torch cosine_similarity)."""
+    qn = query / jnp.maximum(jnp.linalg.norm(query), 1e-12)
+    tn = targets / jnp.maximum(
+        jnp.linalg.norm(targets, axis=-1, keepdims=True), 1e-12
+    )
+    return tn @ qn
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def cosine_topk(query: jax.Array, targets: jax.Array, k: int):
+    """Top-k most-similar rows by cosine score (live-demo heatmap path)."""
+    sims = cosine_similarity(query, targets)
+    return jax.lax.top_k(sims, k)
