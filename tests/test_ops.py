@@ -1,0 +1,174 @@
+"""Tests for resampling statistics, DBSCAN clustering, and image ops."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from sklearn.cluster import DBSCAN
+
+from midastouch_tpu.ops import cluster, image, resample
+
+
+# ----------------------------- resampling ---------------------------------
+
+
+def test_multinomial_resample_statistics():
+    key = jax.random.PRNGKey(0)
+    w = jnp.array([0.1, 0.2, 0.3, 0.4])
+    idx = resample.multinomial_resample(key, w, 40000)
+    counts = np.bincount(np.asarray(idx), minlength=4) / 40000
+    np.testing.assert_allclose(counts, [0.1, 0.2, 0.3, 0.4], atol=0.01)
+
+
+def test_systematic_resample_statistics():
+    key = jax.random.PRNGKey(1)
+    w = jnp.array([0.5, 0.25, 0.125, 0.125])
+    idx = resample.systematic_resample(key, w, 8000)
+    counts = np.bincount(np.asarray(idx), minlength=4) / 8000
+    # systematic resampling has near-zero variance
+    np.testing.assert_allclose(counts, [0.5, 0.25, 0.125, 0.125], atol=2e-3)
+
+
+def test_resample_zero_weight_excluded():
+    key = jax.random.PRNGKey(2)
+    w = jnp.array([0.0, 1.0, 0.0, 1.0])
+    for method in ("weighted_random", "low_var"):
+        idx = np.asarray(resample.resample_indices(key, w, 1000, method))
+        assert set(idx.tolist()) <= {1, 3}
+
+
+def test_resample_degenerate_weights_uniform():
+    key = jax.random.PRNGKey(3)
+    w = jnp.zeros(8)
+    idx = np.asarray(resample.multinomial_resample(key, w, 8000))
+    counts = np.bincount(idx, minlength=8) / 8000
+    np.testing.assert_allclose(counts, 1 / 8, atol=0.02)
+
+
+def test_effective_sample_size():
+    assert float(resample.effective_sample_size(jnp.ones(100))) == 100.0
+    w = jnp.zeros(100).at[0].set(1.0)
+    assert abs(float(resample.effective_sample_size(w)) - 1.0) < 1e-5
+
+
+# ----------------------------- clustering ---------------------------------
+
+
+def _two_blobs(rng, n=400, sep=1.0):
+    a = rng.normal(size=(n // 2, 3)) * 0.01
+    b = rng.normal(size=(n // 2, 3)) * 0.01 + sep
+    return np.concatenate([a, b]).astype(np.float32)
+
+
+def test_dbscan_matches_sklearn_two_blobs(rng):
+    pts = _two_blobs(rng)
+    eps, ms = 0.05, 40
+    ours = np.asarray(cluster.dbscan(jnp.asarray(pts), eps, ms))
+    ref = DBSCAN(eps=eps, min_samples=ms).fit(pts).labels_
+    # same partition (label values differ): compare co-membership
+    for labels in (ours, ref):
+        assert len(set(labels[labels >= 0])) == 2
+    same_ours = ours[:, None] == ours[None, :]
+    same_ref = ref[:, None] == ref[None, :]
+    noise = (ours < 0) | (ref < 0)
+    keep = ~(noise[:, None] | noise[None, :])
+    np.testing.assert_array_equal(same_ours[keep], same_ref[keep])
+    # noise agreement
+    np.testing.assert_array_equal(ours < 0, ref < 0)
+
+
+def test_dbscan_single_blob(rng):
+    pts = (rng.normal(size=(200, 3)) * 0.003).astype(np.float32)
+    ours = np.asarray(cluster.dbscan(jnp.asarray(pts), 1e-2, 40))
+    assert len(np.unique(ours)) == 1 and ours[0] >= 0
+
+
+def test_compact_labels():
+    labels = jnp.array([-1, 5, 5, 9, -1, 9, 9], dtype=jnp.int32)
+    dense = np.asarray(cluster.compact_labels(labels, 8))
+    assert dense.max() == 2
+    # co-membership preserved
+    assert dense[1] == dense[2] and dense[3] == dense[5] == dense[6]
+    assert dense[0] == dense[4] != dense[1]
+
+
+def test_cluster_positions_subsampled(rng):
+    pts = _two_blobs(rng, n=5000)
+    labels = np.asarray(
+        cluster.cluster_positions(
+            jnp.asarray(pts), eps=0.05, min_samples_frac=0.2, max_points=512,
+            backend="xla",
+        )
+    )
+    # two coherent groups
+    l0 = labels[: 2500]
+    l1 = labels[2500:]
+    assert np.all(l0 == l0[0]) and np.all(l1 == l1[0]) and l0[0] != l1[0]
+
+
+# ------------------------------ image ops ---------------------------------
+
+
+def test_normalize_minmax():
+    x = jnp.array([[1.0, 3.0], [5.0, 9.0]])
+    out = np.asarray(image.normalize_minmax(x))
+    assert out.min() == 0 and out.max() == 255
+
+
+def test_heightmap_mask_basic():
+    h, w, b = 64, 48, 4
+    bg = jnp.zeros((h, w))
+    hm = jnp.zeros((h, w))
+    # a strong bump covering ~25% of the crop
+    hm = hm.at[16:48, 12:36].set(50.0)
+    mask = np.asarray(
+        image.heightmap_to_mask(hm, bg, border=b, ratio=0.2, clip=5.0)
+    )
+    assert mask[20, 20] and not mask[2, 2]
+    # no contact -> empty mask (area gate)
+    tiny = jnp.zeros((h, w)).at[30:32, 20:22].set(50.0)
+    mask2 = np.asarray(
+        image.heightmap_to_mask(tiny, bg, border=b, ratio=0.2, clip=5.0)
+    )
+    assert not mask2.any()
+
+
+def test_heightmap_cloud_roundtrip():
+    # flat plate at gel height `d` px -> all points at z = -(cam_dist - d*pixmm)
+    pixmm, cam_dist, f = 0.03, 0.022, 277.0
+    hm = jnp.full((32, 24), 10.0)
+    mask = jnp.ones((32, 24), dtype=bool)
+    pts, valid = image.heightmap_to_cloud(hm, mask, pixmm, cam_dist, f)
+    assert bool(valid.all())
+    depth = cam_dist - 10.0 * pixmm / 1000
+    np.testing.assert_allclose(np.asarray(pts[:, 2]), -depth, atol=1e-7)
+    # central pixel maps near x=y=0
+    center = np.argmin(np.abs(np.asarray(pts[:, 0])) + np.abs(np.asarray(pts[:, 1])))
+    assert abs(np.asarray(pts)[center, 0]) < depth / f * 1.1
+
+
+def test_sample_cloud_fixed_size():
+    key = jax.random.PRNGKey(0)
+    pts = jnp.arange(300.0).reshape(100, 3)
+    valid = jnp.zeros(100, dtype=bool).at[:10].set(True)
+    out = np.asarray(image.sample_cloud(key, pts, valid, 32))
+    assert out.shape == (32, 3)
+    # all sampled points come from the valid set
+    assert set(out[:, 0].tolist()) <= set(np.arange(0, 30, 3.0).tolist())
+    # empty cloud -> zeros
+    out2 = np.asarray(image.sample_cloud(key, pts, jnp.zeros(100, bool), 32))
+    np.testing.assert_array_equal(out2, 0)
+
+
+def test_scale_to_unit():
+    pts = jnp.array([[0.0, 1.0, 2.0], [3.0, 4.0, 10.0]])
+    out = np.asarray(image.scale_to_unit(pts))
+    assert out.min() == -1.0 and out.max() == 1.0
+
+
+def test_blend_heightmaps():
+    w1 = jnp.ones((1, 4, 4))
+    np.testing.assert_allclose(np.asarray(image.blend_heightmaps(w1)), 1.0)
+    stack = jnp.stack([jnp.zeros((4, 4)), jnp.ones((4, 4))])
+    out = np.asarray(image.blend_heightmaps(stack))
+    # newest frame dominates
+    assert 0.5 < out[0, 0] < 1.0
