@@ -1,0 +1,118 @@
+"""Procedural test meshes (sphere / box / cylinder / capsule).
+
+The reference relies on downloaded YCB assets; these analytic shapes give
+the framework a self-contained asset story for tests, benchmarks and CI —
+each at a physical scale comparable to YCB objects (~5-20 cm).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from midastouch_tpu.geometry.mesh import Mesh
+
+
+def icosphere(radius: float = 0.04, subdivisions: int = 3) -> Mesh:
+    t = (1.0 + np.sqrt(5.0)) / 2.0
+    verts = np.array(
+        [
+            [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+            [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+            [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1],
+        ],
+        dtype=np.float64,
+    )
+    faces = np.array(
+        [
+            [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+            [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+            [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+            [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+        ],
+        dtype=np.int64,
+    )
+    verts /= np.linalg.norm(verts, axis=1, keepdims=True)
+    for _ in range(subdivisions):
+        edge_mid: dict[tuple[int, int], int] = {}
+        new_faces = []
+        verts_list = list(verts)
+
+        def midpoint(a: int, b: int) -> int:
+            k = (a, b) if a < b else (b, a)
+            if k not in edge_mid:
+                m = verts_list[a] + verts_list[b]
+                m /= np.linalg.norm(m)
+                edge_mid[k] = len(verts_list)
+                verts_list.append(m)
+            return edge_mid[k]
+
+        for a, b, c in faces:
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+        verts = np.asarray(verts_list)
+        faces = np.asarray(new_faces, dtype=np.int64)
+    return Mesh((verts * radius).astype(np.float32), faces.astype(np.int32))
+
+
+def box(extents=(0.09, 0.05, 0.17), divisions: int = 8) -> Mesh:
+    """Axis-aligned box centered at origin, each face a divisions^2 grid
+    (default extents echo a sugar-box-like object)."""
+    ex, ey, ez = [e / 2.0 for e in extents]
+    verts: list[np.ndarray] = []
+    faces: list[list[int]] = []
+
+    def add_face(origin, du, dv):
+        base = len(verts)
+        n = divisions
+        for i in range(n + 1):
+            for j in range(n + 1):
+                verts.append(origin + du * (i / n) + dv * (j / n))
+        for i in range(n):
+            for j in range(n):
+                a = base + i * (n + 1) + j
+                b, c, d = a + 1, a + n + 1, a + n + 2
+                faces.append([a, b, d])
+                faces.append([a, d, c])
+
+    o = np.array
+    add_face(o([-ex, -ey, ez]), o([2 * ex, 0, 0]), o([0, 2 * ey, 0]))  # +z
+    add_face(o([-ex, ey, -ez]), o([2 * ex, 0, 0]), o([0, -2 * ey, 0]))  # -z
+    add_face(o([ex, -ey, -ez]), o([0, 2 * ey, 0]), o([0, 0, 2 * ez]))  # +x
+    add_face(o([-ex, ey, -ez]), o([0, -2 * ey, 0]), o([0, 0, 2 * ez]))  # -x
+    add_face(o([ex, ey, -ez]), o([-2 * ex, 0, 0]), o([0, 0, 2 * ez]))  # +y
+    add_face(o([-ex, -ey, -ez]), o([2 * ex, 0, 0]), o([0, 0, 2 * ez]))  # -y
+    v = np.asarray(verts, dtype=np.float32)
+    f = np.asarray(faces, dtype=np.int32)
+    # weld shared cube edges
+    uniq, inv = np.unique(v.round(decimals=7), axis=0, return_inverse=True)
+    return Mesh(uniq.astype(np.float32), inv[f].astype(np.int32))
+
+
+def cylinder(radius: float = 0.033, height: float = 0.1, segments: int = 48) -> Mesh:
+    ang = np.linspace(0, 2 * np.pi, segments, endpoint=False)
+    ring = np.stack([np.cos(ang) * radius, np.sin(ang) * radius], axis=1)
+    top = np.concatenate([ring, np.full((segments, 1), height / 2)], axis=1)
+    bot = np.concatenate([ring, np.full((segments, 1), -height / 2)], axis=1)
+    verts = [top, bot, [[0, 0, height / 2]], [[0, 0, -height / 2]]]
+    v = np.concatenate([np.asarray(x) for x in verts]).astype(np.float32)
+    ct, cb = 2 * segments, 2 * segments + 1
+    faces = []
+    for i in range(segments):
+        j = (i + 1) % segments
+        faces += [[i, j, segments + j], [i, segments + j, segments + i]]  # side
+        faces += [[ct, i, j]]  # top cap (+z out)
+        faces += [[cb, segments + j, segments + i]]  # bottom cap
+    return Mesh(v, np.asarray(faces, dtype=np.int32))
+
+
+TEST_OBJECTS = {
+    "sphere": lambda: icosphere(),
+    "box": lambda: box(),
+    "cylinder": lambda: cylinder(),
+}
+
+
+def get_test_mesh(name: str) -> Mesh:
+    if name not in TEST_OBJECTS:
+        raise KeyError(f"unknown test object {name}; have {list(TEST_OBJECTS)}")
+    return TEST_OBJECTS[name]()
