@@ -1,0 +1,384 @@
+"""DIGIT tactile sensor renderer: batched ray-cast depth + gel optics.
+
+Replaces the reference's TACTO/pyrender OpenGL stack
+(`midastouch/render/digit_renderer.py`) with a TPU-resident pipeline:
+
+  1. cull mesh triangles to a fixed-size budget near the sensor tip
+     (the DIGIT gel sees a few mm — a dense top-k beats any BVH here)
+  2. Möller–Trumbore ray-triangle intersection, rays chunked under lax.map,
+     one (rays x faces) minimum per chunk — pure VPU work that XLA fuses
+  3. gel-frame conversion, press-depth application with over-penetration
+     compensation as a fixed two-pass render (digit_renderer.py:313-359)
+  4. Phong-shaded tactile RGB with the DIGIT tri-color LED ring
+     (tacto's config_digit_shadow lighting, approximated analytically)
+
+Camera model: pinhole, OpenGL-style frame (looks along -z, y up), vertical
+FOV from config; depth is distance along -z. The gel plane sits at
+`cam_dist` in front of the camera; heightmaps are in gel-frame pixels with
+`pixmm` vertical scale, exactly like the reference
+(digit_renderer.py:164-182).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from midastouch_tpu.geometry.mesh import Mesh
+from midastouch_tpu.ops import image as image_ops
+from midastouch_tpu.ops import se3
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    width: int = 240
+    height: int = 320
+    pixmm: float = 0.03
+    cam_dist: float = 0.022
+    yfov_deg: float = 60.0
+    pen_min: float = 0.0005
+    pen_max: float = 0.002
+    shear_mag: float = 5.0
+    max_faces: int = 1024
+    ray_chunk: int = 7680  # rays per lax.map chunk
+
+    @property
+    def focal_px(self) -> float:
+        return 0.5 * self.height / np.tan(0.5 * np.radians(self.yfov_deg))
+
+    @classmethod
+    def from_cfg(cls, cfg, max_faces: int | None = None) -> "RenderConfig":
+        return cls(
+            width=int(cfg.width),
+            height=int(cfg.height),
+            pixmm=float(cfg.pixmm),
+            cam_dist=float(cfg.cam_dist),
+            yfov_deg=float(cfg.get("yfov_deg", 60.0)),
+            pen_min=float(cfg.pen.min),
+            pen_max=float(cfg.pen.max),
+            shear_mag=float(cfg.get("shear_mag", 5.0)),
+            **({"max_faces": int(max_faces)} if max_faces else {}),
+        )
+
+
+# ---------------------------------------------------------------------------
+# functional core (jit/vmap-safe)
+# ---------------------------------------------------------------------------
+
+
+def _pixel_dirs(width: int, height: int, focal_px: float) -> np.ndarray:
+    """Unnormalized camera-frame ray directions with dz = -1, so the ray
+    parameter equals depth-along-view (matches heightmap2Pointcloud's
+    unprojection, digit_renderer.py:210-248)."""
+    cx, cy = width / 2.0, height / 2.0
+    xs = (np.arange(width) - cx) / focal_px
+    ys = -(np.arange(height) - cy) / focal_px
+    dx, dy = np.meshgrid(xs, ys)  # (H, W)
+    d = np.stack([dx, dy, -np.ones_like(dx)], axis=-1)
+    return d.reshape(-1, 3).astype(np.float32)  # (H*W, 3)
+
+
+def cull_faces(
+    tri: jax.Array, centroids: jax.Array, tip: jax.Array, k: int
+) -> jax.Array:
+    """Gather the k triangles nearest the sensor tip point. Far triangles
+    are padded out by the top-k itself (they simply never intersect)."""
+    d2 = jnp.sum((centroids - tip[None, :]) ** 2, axis=1)
+    _, idx = jax.lax.top_k(-d2, min(k, tri.shape[0]))
+    return tri[idx]
+
+
+def _moller_trumbore(
+    origins: jax.Array, dirs: jax.Array, tri: jax.Array, far: float
+) -> jax.Array:
+    """Min hit distance per ray. origins (R,3) or (3,), dirs (R,3),
+    tri (K,3,3) -> t (R,) with `far` where no hit."""
+    v0 = tri[:, 0]
+    e1 = tri[:, 1] - tri[:, 0]  # (K,3)
+    e2 = tri[:, 2] - tri[:, 0]
+    eps = 1e-9
+
+    def chunk_fn(dchunk_and_o):
+        d, o = dchunk_and_o  # (C,3), (C,3)
+        p = jnp.cross(d[:, None, :], e2[None, :, :])  # (C,K,3)
+        det = jnp.sum(p * e1[None, :, :], axis=-1)  # (C,K)
+        inv = jnp.where(jnp.abs(det) > eps, 1.0 / det, 0.0)
+        s = o[:, None, :] - v0[None, :, :]  # (C,K,3)
+        u = jnp.sum(s * p, axis=-1) * inv
+        q = jnp.cross(s, e1[None, :, :])
+        v = jnp.sum(q * d[:, None, :], axis=-1) * inv
+        t = jnp.sum(q * e2[None, :, :], axis=-1) * inv
+        hit = (
+            (jnp.abs(det) > eps)
+            & (u >= 0.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (t > 1e-7)
+        )
+        return jnp.min(jnp.where(hit, t, far), axis=-1)  # (C,)
+
+    return chunk_fn((dirs, origins))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "ray_chunk", "max_faces")
+)
+def raycast_depth(
+    tri: jax.Array,
+    centroids: jax.Array,
+    cam_pose: jax.Array,
+    pix_dirs: jax.Array,
+    cam_dist: float,
+    width: int,
+    height: int,
+    ray_chunk: int,
+    max_faces: int,
+) -> jax.Array:
+    """Depth map (H, W) in meters along -z for one camera pose (4,4).
+    Rays beyond the gel plane clamp to `cam_dist` (the flat-gel background,
+    digit_renderer.py:59-62)."""
+    R, o = cam_pose[:3, :3], cam_pose[:3, 3]
+    tip = o + R @ jnp.array([0.0, 0.0, -cam_dist], dtype=cam_pose.dtype)
+    tri_near = cull_faces(tri, centroids, tip, max_faces)
+
+    dirs_world = pix_dirs @ R.T  # (H*W, 3); ray param still = depth
+    n = dirs_world.shape[0]
+    pad = (-n) % ray_chunk
+    if pad:
+        dirs_world = jnp.concatenate(
+            [dirs_world, jnp.zeros((pad, 3), dirs_world.dtype)], axis=0
+        )
+    nchunk = dirs_world.shape[0] // ray_chunk
+    far = 10.0 * cam_dist
+
+    def body(d):
+        oo = jnp.broadcast_to(o, d.shape)
+        return _moller_trumbore(oo, d, tri_near, far)
+
+    t = jax.lax.map(body, dirs_world.reshape(nchunk, ray_chunk, 3))
+    depth = jnp.minimum(t.reshape(-1)[:n].reshape(height, width), cam_dist)
+    return depth
+
+
+def shade_rgb(
+    heightmap_px: jax.Array,
+    contact_mask: jax.Array,
+    pixmm: float,
+    light_scale: jax.Array | float = 1.0,
+    bg_level: float = 0.35,
+) -> jax.Array:
+    """Phong-lit tactile RGB (H, W, 3) float in [0,1] from a gel heightmap.
+
+    DIGIT's three LEDs sit on a ring around the gel; tacto shades the gel
+    surface with per-light Phong + shadows (digit_renderer.py:149-162).
+    Here: surface normals from the heightmap gradient, three directional
+    colored lights at 120 degrees, Lambert + specular, flat background.
+    """
+    h_m = heightmap_px * (pixmm / 1000.0)
+    gy, gx = jnp.gradient(h_m)
+    # pixel pitch in meters on the gel plane (approx: pixmm lateral)
+    pitch = pixmm / 1000.0
+    n = jnp.stack([-gx / pitch, -gy / pitch, jnp.ones_like(gx)], axis=-1)
+    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+
+    angles = jnp.array([90.0, 210.0, 330.0]) * jnp.pi / 180.0
+    elev = jnp.radians(25.0)
+    light_dirs = jnp.stack(
+        [
+            jnp.cos(angles) * jnp.cos(elev),
+            jnp.sin(angles) * jnp.cos(elev),
+            jnp.full_like(angles, jnp.sin(elev)),
+        ],
+        axis=-1,
+    )  # (3, 3)
+    light_rgb = jnp.array(
+        [[0.95, 0.15, 0.15], [0.15, 0.95, 0.15], [0.2, 0.2, 0.95]]
+    )
+
+    lam = jnp.maximum(jnp.einsum("hwc,lc->hwl", n, light_dirs), 0.0)
+    view = jnp.array([0.0, 0.0, 1.0])
+    half = light_dirs + view
+    half = half / jnp.linalg.norm(half, axis=-1, keepdims=True)
+    spec = jnp.maximum(jnp.einsum("hwc,lc->hwl", n, half), 0.0) ** 32
+
+    rgb = bg_level * 0.5 + jnp.einsum("hwl,lc->hwc", lam, light_rgb) * 0.55
+    rgb = rgb + jnp.einsum("hwl,lc->hwc", spec, light_rgb) * 0.25
+    return jnp.clip(rgb * light_scale, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# renderer class (host-facing)
+# ---------------------------------------------------------------------------
+
+
+class DigitRenderer:
+    """Stateful wrapper bundling a mesh with the functional render core
+    (API shape of reference `digit_renderer`, digit_renderer.py:33-359)."""
+
+    def __init__(
+        self,
+        cfg: RenderConfig,
+        mesh: Mesh,
+        randomize: bool = False,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.randomize = randomize
+        self._key = jax.random.PRNGKey(seed)
+        self.tri = jnp.asarray(mesh.triangles)
+        self.centroids = jnp.asarray(mesh.triangles.mean(axis=1))
+        self.pix_dirs = jnp.asarray(
+            _pixel_dirs(cfg.width, cfg.height, cfg.focal_px)
+        )
+        # flat-gel background: uniform depth = cam_dist
+        self.bg_depth = jnp.full(
+            (cfg.height, cfg.width), cfg.cam_dist, dtype=jnp.float32
+        )
+        self.press_depth = 0.001
+
+    def _split(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    # -- frame algebra (digit_renderer.py:124-146) --------------------------
+
+    def gel2cam(self, gel_pose: jax.Array) -> jax.Array:
+        off = jnp.eye(4).at[2, 3].set(self.cfg.cam_dist)
+        return gel_pose @ off
+
+    def cam2gel(self, cam_pose: jax.Array) -> jax.Array:
+        off = jnp.eye(4).at[2, 3].set(-self.cfg.cam_dist)
+        return cam_pose @ off
+
+    def add_press(self, cam_pose: jax.Array, press_depth) -> jax.Array:
+        pen = jnp.eye(4).at[2, 3].set(-press_depth)
+        return cam_pose @ pen
+
+    def get_background(self, frame: str = "gel") -> jax.Array:
+        if frame == "gel":
+            return image_ops.cam_depth_to_gel_px(
+                self.bg_depth, self.cfg.pixmm, self.cfg.cam_dist
+            )
+        return self.bg_depth
+
+    # -- core renders --------------------------------------------------------
+
+    def render_depth(self, cam_pose: jax.Array) -> jax.Array:
+        c = self.cfg
+        return raycast_depth(
+            self.tri, self.centroids, cam_pose, self.pix_dirs, c.cam_dist,
+            c.width, c.height, c.ray_chunk, min(c.max_faces, self.tri.shape[0]),
+        )
+
+    def render(
+        self, gel_pose: jax.Array, press_depth: float | jax.Array | None = None
+    ):
+        """Render (tactile RGB, gel heightmap px, contact mask) at a gel
+        pose with over-penetration-compensated press depth
+        (digit_renderer.py:313-359, two-pass here instead of conditional)."""
+        c = self.cfg
+        if press_depth is None:
+            press_depth = self.press_depth
+        press_depth = jnp.asarray(press_depth, dtype=jnp.float32)
+        cam0 = self.gel2cam(jnp.asarray(gel_pose, dtype=jnp.float32))
+
+        # pass 1: zero press — measure surface protrusion above gel plane
+        d0 = self.render_depth(cam0)
+        protrusion = jnp.max(c.cam_dist - d0)
+        press_eff = jnp.clip(press_depth, 0.0, jnp.maximum(
+            c.pen_max - protrusion, 0.0
+        ))
+        # pass 2: pressed camera
+        cam = self.add_press(cam0, press_eff)
+        depth = self.render_depth(cam)
+
+        heightmap = image_ops.cam_depth_to_gel_px(depth, c.pixmm, c.cam_dist)
+        contact = (self.bg_depth - depth) > jnp.abs(press_eff * 0.2)
+        light = 1.0
+        if self.randomize:
+            light = 0.8 + 0.4 * jax.random.uniform(self._split(), ())
+        rgb = shade_rgb(heightmap, contact, c.pixmm, light_scale=light)
+        return rgb, heightmap, contact, press_eff, cam
+
+    def heightmap2Pointcloud(self, heightmap: jax.Array, contact_mask=None):
+        """Camera-frame cloud + validity mask (digit_renderer.py:210-248)."""
+        c = self.cfg
+        if contact_mask is None:
+            contact_mask = jnp.ones_like(heightmap, dtype=bool)
+        return image_ops.heightmap_to_cloud(
+            heightmap, contact_mask, c.pixmm, c.cam_dist, c.focal_px
+        )
+
+    # -- batched APIs (digit_renderer.py:250-359) ----------------------------
+
+    def render_sensor_poses(self, poses: np.ndarray, num_depths: int = 1):
+        """Render an unordered pose set; returns stacked arrays:
+        (heightmaps, masks, images, cam_poses, gel_poses)."""
+        poses = np.atleast_3d(np.asarray(poses, dtype=np.float32))
+        if num_depths > 1:
+            poses = np.repeat(poses, num_depths, axis=0)
+        n = poses.shape[0]
+        press = jax.random.uniform(
+            self._split(), (n,), minval=self.cfg.pen_min, maxval=self.cfg.pen_max
+        )
+        hms, masks, rgbs, cams, gels = [], [], [], [], []
+        for i in range(n):
+            rgb, hm, mask, press_eff, cam = self.render(poses[i], press[i])
+            gel = self.cam2gel(cam)
+            hms.append(hm)
+            masks.append(mask)
+            rgbs.append(rgb)
+            cams.append(cam)
+            gels.append(gel)
+        stack = lambda xs: np.stack([np.asarray(x) for x in xs])
+        return stack(hms), stack(masks), stack(rgbs), stack(cams), stack(gels)
+
+    def render_sensor_trajectory(
+        self, poses: np.ndarray, m_noise: dict | None = None, pen_ratio: float = 1.0
+    ):
+        """Trajectory render with a press-depth random walk and measurement
+        noise on the output poses (digit_renderer.py:250-311)."""
+        poses = np.atleast_3d(np.asarray(poses, dtype=np.float32))
+        n = poses.shape[0]
+        c = self.cfg
+        lo, hi = c.pen_min * pen_ratio, c.pen_max * pen_ratio
+        rng = np.random.default_rng(int(jax.random.randint(self._split(), (), 0, 2**31 - 1)))
+        press = rng.uniform(lo, hi)
+        rng_span = (hi - lo) / 50.0
+        press_list = []
+        for _ in range(n):
+            delta = rng.uniform(-rng_span, rng_span)
+            press = press + delta if lo <= press + delta <= hi else press - delta
+            press_list.append(press)
+
+        hms, masks, rgbs, cams, gels = [], [], [], [], []
+        for i in range(n):
+            rgb, hm, mask, press_eff, cam = self.render(poses[i], press_list[i])
+            hms.append(hm)
+            masks.append(mask)
+            rgbs.append(rgb)
+            cams.append(np.asarray(cam))
+            gels.append(np.asarray(self.cam2gel(cam)))
+        gelposes = np.stack(gels)
+        camposes = np.stack(cams)
+
+        meas = gelposes
+        if m_noise is not None:
+            rot = rng.normal(0.0, m_noise["sig_r"], size=(n, 3))
+            Rn = np.asarray(
+                se3.euler_to_matrix(jnp.asarray(np.radians(rot), dtype=jnp.float32), "ZYX")
+            )
+            tn = rng.normal(0.0, m_noise["sig_t"], size=(n, 3))
+            Tn = np.zeros((n, 4, 4), dtype=np.float32)
+            Tn[:, :3, :3] = Rn
+            Tn[:, :3, 3] = tn
+            Tn[:, 3, 3] = 1
+            meas = gelposes @ Tn
+
+        stack = lambda xs: np.stack([np.asarray(x) for x in xs])
+        return stack(hms), stack(masks), stack(rgbs), camposes, gelposes, meas

@@ -1,0 +1,124 @@
+"""Renderer tests against analytic geometry (sphere/plane touches)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from midastouch_tpu.geometry import procedural
+from midastouch_tpu.ops import image as image_ops
+from midastouch_tpu.ops import se3
+from midastouch_tpu.render.digit import DigitRenderer, RenderConfig
+
+CFG = RenderConfig(width=60, height=80, ray_chunk=1200, max_faces=512)
+RADIUS = 0.04
+
+
+def _touch_pose(theta=0.0, phi=0.0):
+    """Gel pose touching the sphere at spherical coords, z-axis outward."""
+    n = np.array(
+        [np.cos(phi) * np.sin(theta), np.sin(phi) * np.sin(theta), np.cos(theta)],
+        dtype=np.float32,
+    )
+    v = (RADIUS * n).astype(np.float32)
+    import jax
+
+    T = se3.pose_from_vertex_normal(
+        jnp.asarray(v[None]), jnp.asarray(n[None]), 0.0,
+        jnp.zeros(1), jax.random.PRNGKey(0),
+    )
+    return np.asarray(T[0])
+
+
+def test_sphere_touch_depth_and_mask():
+    mesh = procedural.icosphere(radius=RADIUS, subdivisions=4)
+    r = DigitRenderer(CFG, mesh)
+    press = 0.0015
+    rgb, hm, mask, press_eff, cam = r.render(_touch_pose(1.0, 0.7), press)
+    hm, mask = np.asarray(hm), np.asarray(mask)
+    assert abs(float(press_eff) - press) < 1e-6
+
+    # peak height at the contact center ~ press depth (in px)
+    expected_px = press * 1000 / CFG.pixmm
+    assert abs(hm.max() - expected_px) < 2.0  # within 2 px (0.06 mm)
+    cy, cx = np.unravel_index(hm.argmax(), hm.shape)
+    assert abs(cy - CFG.height // 2) < 6 and abs(cx - CFG.width // 2) < 6
+
+    # mask: contact blob around center, empty at borders
+    assert mask[cy, cx]
+    assert not mask[0, :].any() and not mask[-1, :].any()
+    # heightmap outside contact is background (0)
+    assert hm[0, 0] < 1e-3
+
+    rgb = np.asarray(rgb)
+    assert rgb.shape == (CFG.height, CFG.width, 3)
+    assert 0 <= rgb.min() and rgb.max() <= 1
+
+
+def test_unprojected_cloud_lies_on_sphere():
+    mesh = procedural.icosphere(radius=RADIUS, subdivisions=4)
+    r = DigitRenderer(CFG, mesh)
+    gel_pose = _touch_pose(1.1, -0.4)
+    rgb, hm, mask, press_eff, cam = r.render(gel_pose, 0.002)
+    pts, valid = r.heightmap2Pointcloud(hm, mask)
+    pts, valid = np.asarray(pts), np.asarray(valid)
+    assert valid.sum() > 20
+    cloud_cam = pts[valid]
+    # to world frame
+    cam_np = np.asarray(cam)
+    cloud_w = cloud_cam @ cam_np[:3, :3].T + cam_np[:3, 3]
+    rr = np.linalg.norm(cloud_w, axis=1)
+    # points lie on the sphere (facet chord error ~ r*(1-cos) small)
+    np.testing.assert_allclose(rr, RADIUS, atol=5e-4)
+
+
+def test_overpen_compensation_caps_height():
+    mesh = procedural.icosphere(radius=RADIUS, subdivisions=4)
+    r = DigitRenderer(CFG, mesh)
+    # ask for a press beyond pen_max: must be capped
+    rgb, hm, mask, press_eff, cam = r.render(_touch_pose(), 0.05)
+    assert float(press_eff) <= CFG.pen_max + 1e-9
+    max_pen_m = np.asarray(hm).max() * CFG.pixmm / 1000
+    assert max_pen_m <= CFG.pen_max + 1e-4
+
+
+def test_no_contact_render():
+    mesh = procedural.icosphere(radius=RADIUS, subdivisions=3)
+    r = DigitRenderer(CFG, mesh)
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = RADIUS + 0.05  # far above the sphere
+    rgb, hm, mask, press_eff, cam = r.render(pose, 0.001)
+    assert not np.asarray(mask).any()
+    assert np.asarray(hm).max() < 1e-3
+
+
+def test_render_sensor_poses_batch(rng):
+    mesh = procedural.icosphere(radius=RADIUS, subdivisions=3)
+    r = DigitRenderer(CFG, mesh, seed=1)
+    from midastouch_tpu.geometry.mesh import sample_poses_on_mesh
+
+    poses = sample_poses_on_mesh(mesh, 4, rng, edges=False)
+    hms, masks, rgbs, cams, gels = r.render_sensor_poses(poses)
+    assert hms.shape == (4, CFG.height, CFG.width)
+    assert masks.dtype == bool and rgbs.shape[-1] == 3
+    # each touch makes contact
+    assert all(m.sum() > 10 for m in masks)
+    # gel/cam consistency: cam = gel + cam_dist * z_gel
+    for c, g in zip(cams, gels):
+        np.testing.assert_allclose(
+            c[:3, 3], g[:3, 3] + g[:3, :3] @ [0, 0, CFG.cam_dist], atol=1e-6
+        )
+
+
+def test_render_trajectory_measurement_noise(rng):
+    mesh = procedural.icosphere(radius=RADIUS, subdivisions=3)
+    r = DigitRenderer(CFG, mesh, seed=2)
+    from midastouch_tpu.geometry.mesh import sample_poses_on_mesh
+
+    poses = sample_poses_on_mesh(mesh, 3, rng, edges=False)
+    out = r.render_sensor_trajectory(
+        poses, m_noise={"sig_r": 0.5, "sig_t": 2e-4}
+    )
+    hms, masks, rgbs, cams, gels, meas = out
+    assert meas.shape == gels.shape
+    # measurement poses close to but not equal to gt
+    dt = np.linalg.norm(meas[:, :3, 3] - gels[:, :3, 3], axis=1)
+    assert 0 < dt.max() < 5e-3
