@@ -1,0 +1,123 @@
+"""Tactile codebook: pose -> embedding table resident in HBM.
+
+Rebuilds `midastouch/tactile_tree/tactile_tree.py` without the nanoflann
+KD-tree: the 6-D SE(3) keys ([0.99*xyz, 0.01*so3_log], tactile_tree.py:73-77)
+live as a dense (M, 6) array and queries are exact brute-force 1-NN through
+`ops.knn` (one MXU matmul + streaming argmin), so the entire measurement
+update stays on device — the reference round-trips 50k poses through numpy,
+theseus and a 16-thread CPU kNN per filter step (tactile_tree.py:43-58).
+
+Storage is a plain .npz of arrays (poses as quaternion+translation), not a
+pickled object.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from midastouch_tpu.ops import knn, se3
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class Codebook:
+    q: jax.Array  # (M, 4) gel-pose quaternions (wxyz)
+    t: jax.Array  # (M, 3) gel-pose translations
+    cam_q: jax.Array  # (M, 4) camera-pose quaternions
+    cam_t: jax.Array  # (M, 3) camera-pose translations
+    embeddings: jax.Array  # (M, E) float32, L2-normalized
+    keys: jax.Array  # (M, 6) SE(3) query keys
+
+    # -- pytree plumbing -----------------------------------------------------
+
+    def tree_flatten(self):
+        return (
+            (self.q, self.t, self.cam_q, self.cam_t, self.embeddings, self.keys),
+            None,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    def __len__(self) -> int:
+        return self.q.shape[0]
+
+    # -- construction ---------------------------------------------------------
+
+    @classmethod
+    def from_poses(
+        cls,
+        gel_poses: np.ndarray,
+        cam_poses: np.ndarray,
+        embeddings: np.ndarray,
+        key_weight: float = 0.01,
+    ) -> "Codebook":
+        """Build from (M,4,4) pose matrices + (M,E) embeddings
+        (reference tactile_tree.__init__, tactile_tree.py:14-41)."""
+        gel = jnp.asarray(gel_poses, dtype=jnp.float32)
+        cam = jnp.asarray(cam_poses, dtype=jnp.float32)
+        emb = jnp.asarray(embeddings, dtype=jnp.float32)
+        emb = emb / jnp.maximum(jnp.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        q = se3.matrix_to_quat(gel[:, :3, :3])
+        t = gel[:, :3, 3]
+        return cls(
+            q=q,
+            t=t,
+            cam_q=se3.matrix_to_quat(cam[:, :3, :3]),
+            cam_t=cam[:, :3, 3],
+            embeddings=emb,
+            keys=se3.se3_key(q, t, w=key_weight),
+        )
+
+    # -- persistence ----------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path,
+            q=np.asarray(self.q),
+            t=np.asarray(self.t),
+            cam_q=np.asarray(self.cam_q),
+            cam_t=np.asarray(self.cam_t),
+            embeddings=np.asarray(self.embeddings),
+            keys=np.asarray(self.keys),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "Codebook":
+        d = np.load(path)
+        return cls(**{k: jnp.asarray(d[k]) for k in d.files})
+
+    # -- queries ---------------------------------------------------------------
+
+    def se3_nn_idx(
+        self, q: jax.Array, t: jax.Array, backend: str = "auto"
+    ) -> jax.Array:
+        """Nearest codebook entry per query pose (reference SE3_NN,
+        tactile_tree.py:43-58, nn=1)."""
+        keys = se3.se3_key(q, t)
+        _, idx = knn.nn_search(keys, self.keys, backend=backend)
+        return idx
+
+    def se3_nn(self, q: jax.Array, t: jax.Array, backend: str = "auto"):
+        """Returns (gel_q, gel_t, cam_q, cam_t, embeddings) of the nearest
+        neighbours — the reference returns (poses, cam_poses, embeddings)."""
+        idx = self.se3_nn_idx(q, t, backend=backend)
+        return (
+            self.q[idx],
+            self.t[idx],
+            self.cam_q[idx],
+            self.cam_t[idx],
+            self.embeddings[idx],
+            idx,
+        )
+
+    def get_poses(self):
+        return self.q, self.t, self.cam_q, self.cam_t
+
+    def get_embeddings(self) -> jax.Array:
+        return self.embeddings

@@ -1,0 +1,309 @@
+"""SE(3) particle filter, fully on-device with static shapes.
+
+Rebuilds `midastouch/modules/particle_filter.py` for TPU: every stage of
+the sense-update loop (motion noise, codebook weighting, drift pruning,
+clustering, annealing, resampling) is jit-compiled over the fixed-capacity
+`ParticleState`; the reference's CPU round-trips (sklearn KDTree :379-403,
+DBSCAN :208-228, WeightedRandomSampler loop :243-249) become the device
+kernels in `ops/`.
+
+Annealing semantics (reference :405-447) are reproduced distribution-
+exactly without shape changes: "remove k lowest-weight particles" becomes
+zeroing their weights before the resampling draw; "duplicate the top k"
+becomes doubling their sampling mass; the live count `n_active` moves and
+the resampler always fills the full capacity, of which the first
+`n_active` slots are the population.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from midastouch_tpu.filter.particles import ParticleState
+from midastouch_tpu.ops import cluster as cluster_ops
+from midastouch_tpu.ops import knn, resample, se3
+
+
+class FilterParams(NamedTuple):
+    """Trace-time constants of the filter (from the hydra-style config)."""
+
+    sig_r_deg: float = 0.5  # motion rot noise, deg (expt.params.noise_r)
+    sig_t: float = 2e-4  # motion trans noise, m (expt.params.noise_t)
+    init_trans_noise: float = 0.05  # sigma = mesh_diag/3 * noise_ratio
+    init_rot_noise_deg: float = 60.0  # sigma = 180/3 * noise_ratio
+    pen_max: float = 0.002  # drift-pruning distance (tdn.render.pen.max)
+    cluster_eps: float = 1e-2
+    min_samples_frac: float = 0.2
+    max_clusters: int = 8
+    cluster_subsample: int = 1024
+    resample_method: str = "weighted_random"
+    backend: str = "auto"  # NN kernel backend
+
+
+@dataclasses.dataclass
+class ParticleFilter:
+    """Host-facing driver owning the mesh pruning table and params
+    (reference particle_filter.__init__, :98-127)."""
+
+    params: FilterParams
+    mesh_vertices: jax.Array  # (V, 3) downsampled vertex table
+    mesh_scale: float
+
+    @classmethod
+    def from_config(cls, cfg, mesh, real: bool = False) -> "ParticleFilter":
+        p = cfg.expt.params
+        noise = float(p.noise_ratio)
+        domain = "real" if real else "sim"
+        params = FilterParams(
+            sig_r_deg=float(p.noise_r[domain]),
+            sig_t=float(p.noise_t[domain]),
+            init_trans_noise=mesh.scale / 3.0 * noise,
+            init_rot_noise_deg=180.0 / 3.0 * noise,
+            pen_max=float(cfg.tdn.render.pen.max),
+            cluster_eps=1e-2,
+            min_samples_frac=0.2,
+            max_clusters=int(cfg.tpu.max_clusters),
+            cluster_subsample=int(cfg.tpu.cluster_max_points),
+            resample_method=str(cfg.tpu.resample_method),
+            backend=str(cfg.tpu.backend),
+        )
+        stride = int(cfg.tpu.mesh_vertex_stride)
+        return cls(
+            params=params,
+            mesh_vertices=jnp.asarray(mesh.downsampled_vertices(stride)),
+            mesh_scale=mesh.scale,
+        )
+
+    # -- init (reference :129-145) -------------------------------------------
+
+    def init_filter(
+        self, key: jax.Array, gt_pose: jax.Array, num_particles: int
+    ) -> ParticleState:
+        p = self.params
+        k1, k2 = jax.random.split(key)
+        tn = jax.random.normal(k1, (num_particles, 3)) * p.init_trans_noise
+        rn = jax.random.normal(k2, (num_particles, 3)) * jnp.radians(
+            p.init_rot_noise_deg
+        )
+        Rn = se3.euler_to_matrix(rn, "ZYX")
+        qn = se3.matrix_to_quat(Rn)
+
+        gt_q = se3.matrix_to_quat(gt_pose[:3, :3])
+        gt_t = gt_pose[:3, 3]
+        q = se3.quat_mul(gt_q[None, :], qn)
+        t = gt_t[None, :] + se3.quat_rotate(gt_q[None, :], tn)
+        return ParticleState.create(q, t)
+
+    # -- motion model (reference :319-377) ------------------------------------
+
+    def motion_model(
+        self,
+        key: jax.Array,
+        state: ParticleState,
+        odom_q: jax.Array,
+        odom_t: jax.Array,
+        multiplier: float | jax.Array = 1.0,
+    ) -> ParticleState:
+        """Compose each particle with the odometry step corrupted by iid
+        SE(3) noise: pose' = pose @ (odom @ Tn)."""
+        p = self.params
+        n = state.capacity
+        mul = jnp.maximum(jnp.asarray(multiplier, jnp.float32), 1.0)
+        k1, k2 = jax.random.split(key)
+        tn = jax.random.normal(k1, (n, 3)) * (p.sig_t * mul)
+        rn = jax.random.normal(k2, (n, 3)) * jnp.radians(p.sig_r_deg) * mul
+        qn = se3.matrix_to_quat(se3.euler_to_matrix(rn, "ZYX"))
+
+        # noisy odom per particle
+        no_q = se3.quat_mul(odom_q[None, :], qn)
+        no_t = odom_t[None, :] + se3.quat_rotate(odom_q[None, :], tn)
+        q = se3.quat_normalize(se3.quat_mul(state.q, no_q))
+        t = state.t + se3.quat_rotate(state.q, no_t)
+        return state._replace(q=q, t=t)
+
+    # -- measurement (reference :449-469) --------------------------------------
+
+    def get_similarity(
+        self,
+        code: jax.Array,
+        nn_codes: jax.Array,
+        alive: jax.Array,
+        softmax: bool = True,
+    ) -> jax.Array:
+        """Cosine similarity of the live tactile code against each
+        particle's codebook embedding, optionally masked-softmaxed."""
+        w = knn.cosine_similarity(code, nn_codes)
+        w = jnp.where(alive, w, 0.0)
+        if not softmax:
+            return w
+        wa = jnp.where(alive, w, -jnp.inf)
+        wmax = jnp.max(wa)
+        wmin = -jnp.max(jnp.where(alive, -w, -jnp.inf))
+        # all-equal scores carry no information -> uniform over live
+        # (the reference returns the raw scores there, :459-466, which act
+        # uniformly in its resampler; uniform is the same semantics without
+        # letting negative cosines leak into ranks/averages)
+        degenerate = jnp.abs(wmax - wmin) < 1e-8
+        sm = jax.nn.softmax(wa)
+        sm = jnp.where(jnp.isfinite(sm), sm, 0.0)
+        return jnp.where(degenerate, alive.astype(w.dtype), sm)
+
+    # -- drift pruning (reference :379-403) -------------------------------------
+
+    def remove_invalid_particles(
+        self, state: ParticleState, invalid_dist: float | None = None
+    ) -> tuple[ParticleState, jax.Array]:
+        thresh = self.params.pen_max if invalid_dist is None else invalid_dist
+        dist = knn.min_distance(
+            state.t, self.mesh_vertices, backend=self.params.backend
+        )
+        valid = dist <= thresh
+        weights = state.weights * valid.astype(state.weights.dtype)
+        drifted = ~jnp.any(valid & state.alive)
+        return state._replace(weights=weights), drifted
+
+    # -- clustering (reference :153-228) ----------------------------------------
+
+    def cluster_particles(self, state: ParticleState) -> ParticleState:
+        """DBSCAN labels over a strided subsample of the live prefix,
+        broadcast to all slots by nearest neighbour."""
+        p = self.params
+        s = min(p.cluster_subsample, state.capacity)
+        idx = (
+            jnp.arange(s, dtype=jnp.int32)
+            * jnp.maximum(state.n_active, 1)
+            // s
+        )
+        sub = state.t[idx]
+        min_samples = max(int(s * p.min_samples_frac), 1)
+        sub_labels = cluster_ops.dbscan(sub, p.cluster_eps, min_samples)
+        labels = cluster_ops.assign_labels(
+            state.t, sub, sub_labels, backend=p.backend
+        )
+        labels = cluster_ops.compact_labels(labels, p.max_clusters)
+        return state._replace(labels=labels)
+
+    def get_cluster_centers(
+        self, state: ParticleState
+    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """Weighted SE(3) mean + translation std per cluster (reference
+        :153-206, method='quat_avg'). Returns (poses (K,4,4), stds (K,3),
+        valid (K,))."""
+        K = self.params.max_clusters
+
+        def per_cluster(k):
+            member = (state.labels == k) & state.alive
+            m = member.astype(state.weights.dtype)
+            w = state.weights * m
+            count = jnp.sum(m)
+            # equal-weight fallback when weights are uniform/degenerate
+            wmax = jnp.max(jnp.where(member, w, -jnp.inf))
+            wmin = jnp.min(jnp.where(member, w, jnp.inf))
+            degenerate = ~jnp.isfinite(wmax) | (jnp.abs(wmax - wmin) < 1e-12)
+            w = jnp.where(degenerate, m, w)
+
+            w = jnp.maximum(w, 0.0)  # guard: no negative mass in averages
+            qa = se3.quat_weighted_average(state.q, w)
+            wsum = jnp.maximum(jnp.sum(w), 1e-12)
+            ta = jnp.sum(state.t * w[:, None], axis=0) / wsum
+            var = jnp.sum((state.t - ta) ** 2 * w[:, None], axis=0) / wsum
+            return (
+                se3.make_tf(se3.quat_to_matrix(qa), ta),
+                jnp.sqrt(jnp.maximum(var, 0.0)),
+                count > 0,
+            )
+
+        poses, stds, valid = jax.vmap(per_cluster)(jnp.arange(K))
+        return poses, stds, valid
+
+    @staticmethod
+    def mean_cluster_std(stds: jax.Array, valid: jax.Array) -> jax.Array:
+        """Mean sigma over existing clusters (reference filter.py:189 uses
+        torch.mean over the (K,3) std tensor)."""
+        vf = valid.astype(stds.dtype)[:, None]
+        return jnp.sum(stds * vf) / jnp.maximum(jnp.sum(vf) * 3.0, 1.0)
+
+    # -- annealing (reference :405-447) -------------------------------------------
+
+    def annealing(
+        self, state: ParticleState, var: jax.Array, floor: int = 1000
+    ) -> ParticleState:
+        n = state.n_active
+        first = jnp.isinf(state.particle_var)
+        converged = var == 0.0
+        ratio = var / jnp.where(first, 1.0, state.particle_var)
+
+        # ranks among live particles (ascending weight)
+        wa = jnp.where(state.alive, state.weights, jnp.inf)
+        order = jnp.argsort(wa)
+        rank_up = jnp.zeros(state.capacity, jnp.int32).at[order].set(
+            jnp.arange(state.capacity, dtype=jnp.int32)
+        )
+        # rank from the top among live particles
+        rank_down = n - 1 - rank_up
+
+        nf = n.astype(jnp.float32)
+        num_remove = jnp.minimum(
+            jnp.minimum(((1.0 - ratio) * nf).astype(jnp.int32), jnp.abs(n - floor)),
+            n // 3,
+        )
+        num_remove = jnp.maximum(num_remove, 0)
+        num_add = jnp.maximum(((ratio - 1.0) * nf).astype(jnp.int32), 0)
+        num_add = jnp.minimum(num_add, n // 3)
+        # never grow past the initial population (reference :439-440)
+        num_add = jnp.where(num_add + n > state.init_count, 0, num_add)
+
+        shrink = (ratio < 1.0) & ~first & ~converged
+        grow = (ratio > 1.0) & ~first & ~converged
+
+        w = state.weights
+        w = jnp.where(shrink & state.alive & (rank_up < num_remove), 0.0, w)
+        w = jnp.where(grow & state.alive & (rank_down < num_add), 2.0 * w, w)
+
+        n_new = jnp.where(
+            shrink, n - num_remove, jnp.where(grow, n + num_add, n)
+        )
+        return state._replace(
+            weights=w,
+            n_active=n_new.astype(jnp.int32),
+            particle_var=jnp.where(converged, state.particle_var, var),
+            init_count=jnp.where(
+                first, n, state.init_count
+            ).astype(jnp.int32),
+        )
+
+    # -- resampling (reference :230-307) -------------------------------------------
+
+    def resampler(self, key: jax.Array, state: ParticleState) -> ParticleState:
+        """Draw a full-capacity sample from the live weighted population;
+        the first n_active slots are the new population. Degenerate weights
+        leave the state unchanged (reference :240-241)."""
+        w = jnp.maximum(state.weights, 0.0) * state.alive_f
+        total = jnp.sum(w)
+        degenerate = (total <= 0) | ~jnp.isfinite(total)
+
+        idx = resample.resample_indices(
+            key, jnp.where(degenerate, state.alive_f, w), state.capacity,
+            self.params.resample_method,
+        )
+        keep = jnp.arange(state.capacity, dtype=jnp.int32)
+        idx = jnp.where(degenerate, keep, idx)
+        mask = state.alive_f  # prefix mask for the (unchanged) n_active
+        return state._replace(
+            q=state.q[idx],
+            t=state.t[idx],
+            weights=state.weights[idx] * mask,
+            labels=state.labels[idx],
+        )
+
+    # -- metrics ----------------------------------------------------------------
+
+    def rmse(self, state: ParticleState, gt_pose: jax.Array):
+        """(reference particle_rmse, :472-496) over the live population."""
+        return se3.particle_rmse(
+            se3.quat_to_matrix(state.q), state.t, gt_pose, state.alive_f
+        )
