@@ -1,0 +1,120 @@
+"""TCN driver: heightmap + contact mask -> 256-d tactile code.
+
+Mirrors `midastouch/contrib/tcn_minkloc/tcn.py:18-148` around the Flax
+VoxelFPN: unproject to a camera-frame cloud, resample to a fixed point
+count, scale to [-1,1], voxelize, embed, L2-normalize. The whole pipeline
+is one jitted batched function — the reference crosses GPU->CPU for
+MinkowskiEngine quantization on every call (tcn.py:124-131).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from midastouch_tpu.models.params_io import load_variables, save_variables
+from midastouch_tpu.models.voxfpn import VoxelFPN, voxelize
+from midastouch_tpu.ops import image as image_ops
+from midastouch_tpu.utils.misc import DIRS
+
+
+class TCN:
+    def __init__(
+        self,
+        cfg,
+        render_cfg,
+        params_path: str | None = None,
+        seed: int = 0,
+        compute_dtype=jnp.float32,
+    ):
+        m = cfg.model
+        self.num_points = int(m.num_points)
+        self.grid_size = int(m.get("grid_size", 64))
+        self.batch_size = int(m.batch_size)
+        self.output_dim = int(m.output_dim)
+        self.normalize_embeddings = True
+
+        self.pixmm = float(render_cfg.pixmm)
+        self.cam_dist = float(render_cfg.cam_dist)
+        h = int(render_cfg.height)
+        self.focal_px = 0.5 * h / np.tan(0.5 * np.radians(float(render_cfg.get("yfov_deg", 60.0))))
+
+        self.model = VoxelFPN(
+            planes=tuple(m.planes),
+            layers=tuple(m.layers),
+            num_top_down=int(m.num_top_down),
+            conv0_kernel_size=int(m.conv0_kernel_size),
+            feature_size=int(m.feature_size),
+            dtype=compute_dtype,
+        )
+
+        if params_path is None:
+            params_path = os.path.join(DIRS["weights"], str(m.tcn_weights))
+        if os.path.exists(params_path):
+            self.variables = load_variables(params_path)
+        else:
+            key = jax.random.PRNGKey(seed)
+            g = self.grid_size
+            self.variables = self.model.init(
+                key, jnp.zeros((1, g, g, g, 1)), train=False
+            )
+
+        self._embed = jax.jit(self._embed_impl)
+
+    def save(self, path: str) -> None:
+        save_variables(path, self.variables)
+
+    # -- pipeline ----------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def heightmaps_to_clouds(self, key, heightmaps, masks):
+        """(B, H, W) heightmaps/masks -> (B, P, 3) unit-scaled clouds
+        (tcn.py:78-116)."""
+
+        def one(k, hm, mask):
+            pts, valid = image_ops.heightmap_to_cloud(
+                hm, mask, self.pixmm, self.cam_dist, self.focal_px
+            )
+            cloud = image_ops.sample_cloud(k, pts, valid, self.num_points)
+            return image_ops.scale_to_unit(cloud)
+
+        keys = jax.random.split(key, heightmaps.shape[0])
+        return jax.vmap(one)(keys, heightmaps, masks)
+
+    def _embed_impl(self, variables, clouds):
+        occ = voxelize(clouds, self.grid_size)
+        emb = self.model.apply(variables, occ, train=False)
+        if self.normalize_embeddings:
+            emb = emb / jnp.maximum(
+                jnp.linalg.norm(emb, axis=1, keepdims=True), 1e-12
+            )
+        return emb
+
+    def clouds_to_codes(self, clouds: jax.Array) -> jax.Array:
+        return self._embed(self.variables, clouds)
+
+    def cloud_to_tactile_code(
+        self, heightmaps, masks, key: jax.Array | None = None
+    ) -> jax.Array:
+        """Full heightmap(s) -> code(s) path (reference signature takes the
+        renderer for unprojection; intrinsics live on this driver here)."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        single = jnp.ndim(heightmaps) == 2
+        hm = jnp.asarray(heightmaps, dtype=jnp.float32)
+        mk = jnp.asarray(masks)
+        if single:
+            hm, mk = hm[None], mk[None]
+        out = []
+        for i in range(0, hm.shape[0], self.batch_size):
+            kb = jax.random.fold_in(key, i)
+            clouds = self.heightmaps_to_clouds(
+                kb, hm[i : i + self.batch_size], mk[i : i + self.batch_size]
+            )
+            out.append(self.clouds_to_codes(clouds))
+        emb = jnp.concatenate(out, axis=0)
+        return emb[0] if single else emb

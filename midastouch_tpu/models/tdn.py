@@ -1,0 +1,105 @@
+"""TDN driver: tactile image -> heightmap / contact mask / embedding.
+
+Mirrors `midastouch/contrib/tdn_fcrn/tdn.py:28-165` around the Flax FCRN:
+min-max image normalization, jitted forward, exponential heightmap
+blending (real data), border/quantile/area-gate mask thresholding.
+"""
+
+from __future__ import annotations
+
+import collections
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from midastouch_tpu.models.fcrn import FCRN
+from midastouch_tpu.models.params_io import load_variables, save_variables
+from midastouch_tpu.ops import image as image_ops
+from midastouch_tpu.utils.misc import DIRS
+
+
+class TDN:
+    def __init__(
+        self,
+        cfg,
+        bg: jax.Array | np.ndarray | None = None,
+        bottleneck: bool = False,
+        real: bool = False,
+        params_path: str | None = None,
+        seed: int = 0,
+        compute_dtype=jnp.float32,
+    ):
+        fcrn_cfg = cfg.fcrn.real if real else cfg.fcrn.sim
+        self.b = int(fcrn_cfg.border)
+        self.r = float(fcrn_cfg.ratio)
+        self.clip = float(fcrn_cfg.clip)
+        self.blend_sz = int(fcrn_cfg.blend_sz)
+        self.bottleneck = bottleneck
+        self.heightmap_window: collections.deque = collections.deque([])
+
+        h, w = int(cfg.render.height), int(cfg.render.width)
+        self.model = FCRN(out_size=(h, w), dtype=compute_dtype)
+
+        if params_path is None:
+            params_path = os.path.join(DIRS["weights"], str(cfg.tdn_weights))
+        if os.path.exists(params_path):
+            self.variables = load_variables(params_path)
+        else:  # fresh init (no pretrained assets in this environment)
+            key = jax.random.PRNGKey(seed)
+            self.variables = self.model.init(
+                key, jnp.zeros((1, h, w, 3)), train=False
+            )
+
+        self._fwd = jax.jit(
+            lambda v, x: self.model.apply(v, x, train=False)
+        )
+        self._fwd_bottleneck = jax.jit(
+            lambda v, x: self.model.apply(v, x, train=False, bottleneck=True)
+        )
+        self.bg = None if bg is None else jnp.asarray(bg)
+
+    def save(self, path: str) -> None:
+        save_variables(path, self.variables)
+
+    # -- forward paths (tdn.py:94-137) ---------------------------------------
+
+    def image2heightmap(self, image: np.ndarray) -> jax.Array:
+        """Single tactile image (H, W, 3) -> blended heightmap (H, W) px."""
+        img = image_ops.normalize_minmax(jnp.asarray(image, dtype=jnp.float32))
+        out = self._fwd(self.variables, img[None])[0]
+        return self.blend_heightmaps(out)
+
+    def images2heightmaps(self, images: np.ndarray) -> jax.Array:
+        """Batched forward (no blending) for codebook builds."""
+        imgs = jnp.asarray(images, dtype=jnp.float32)
+        imgs = jax.vmap(image_ops.normalize_minmax)(imgs)
+        return self._fwd(self.variables, imgs)
+
+    def image2embedding(self, image: np.ndarray) -> jax.Array:
+        """Bottleneck trunk feature, L2-normalized (tdn.py:117-137)."""
+        img = image_ops.normalize_minmax(jnp.asarray(image, dtype=jnp.float32))
+        feat = self._fwd_bottleneck(self.variables, img[None])[0]
+        flat = feat.reshape(1, -1).astype(jnp.float32)
+        return flat / jnp.maximum(jnp.linalg.norm(flat, axis=1, keepdims=True), 1e-12)
+
+    # -- blending (tdn.py:60-92) ----------------------------------------------
+
+    def blend_heightmaps(self, heightmap: jax.Array) -> jax.Array:
+        if not self.blend_sz:
+            return heightmap
+        if len(self.heightmap_window) >= self.blend_sz:
+            self.heightmap_window.popleft()
+        self.heightmap_window.append(heightmap)
+        window = jnp.stack(list(self.heightmap_window))
+        return image_ops.blend_heightmaps(window)
+
+    # -- masking (tdn.py:139-165) ----------------------------------------------
+
+    def heightmap2mask(
+        self, heightmap: jax.Array, small_parts: bool = False
+    ) -> jax.Array:
+        return image_ops.heightmap_to_mask(
+            heightmap, self.bg, self.b, self.r, self.clip, small_parts
+        )

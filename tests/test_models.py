@@ -1,0 +1,132 @@
+"""Model tests: FCRN (TDN) and VoxelFPN (TCN) shapes + invariants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from midastouch_tpu.models.fcrn import FCRN, depth_to_space
+from midastouch_tpu.models.params_io import load_variables, save_variables
+from midastouch_tpu.models.voxfpn import VoxelFPN, voxelize
+
+
+def test_depth_to_space_ordering():
+    # channel blocks [c00, c01, c10, c11] -> 2x2 spatial offsets
+    x = jnp.arange(4.0).reshape(1, 1, 1, 4)
+    out = np.asarray(depth_to_space(x))[0, :, :, 0]
+    np.testing.assert_array_equal(out, [[0, 1], [2, 3]])
+
+
+def test_fcrn_forward_shapes():
+    model = FCRN(layers=(1, 1, 1, 1), out_size=(80, 60))
+    x = jnp.zeros((2, 80, 60, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (2, 80, 60)
+    feat = model.apply(variables, x, train=False, bottleneck=True)
+    # input/32 trunk resolution, 1024 channels
+    assert feat.shape == (2, 3, 2, 1024)
+
+
+def test_fcrn_train_mode_updates_stats():
+    model = FCRN(layers=(1, 1, 1, 1), out_size=(64, 64))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out, mutated = model.apply(
+        variables, x, train=True,
+        mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(2)},
+    )
+    assert "batch_stats" in mutated
+
+
+def test_params_io_roundtrip(tmp_path):
+    model = FCRN(layers=(1, 1, 1, 1), out_size=(64, 64))
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    p = str(tmp_path / "w.npz")
+    save_variables(p, variables)
+    loaded = load_variables(p)
+    chex_equal = jax.tree_util.tree_all(
+        jax.tree_util.tree_map(
+            lambda a, b: jnp.allclose(a, b), variables, loaded
+        )
+    )
+    assert bool(chex_equal)
+    out1 = model.apply(variables, x, train=False)
+    out2 = model.apply(loaded, x, train=False)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
+
+
+def test_voxelize():
+    pts = jnp.array([[[-1.0, -1, -1], [0.999, 0.999, 0.999], [0, 0, 0]]])
+    occ = np.asarray(voxelize(pts, 8))
+    assert occ.shape == (1, 8, 8, 8, 1)
+    assert occ.sum() == 3
+    assert occ[0, 0, 0, 0, 0] == 1 and occ[0, 7, 7, 7, 0] == 1 and occ[0, 4, 4, 4, 0] == 1
+    # permutation invariance
+    occ2 = np.asarray(voxelize(pts[:, ::-1], 8))
+    np.testing.assert_array_equal(occ, occ2)
+
+
+def test_voxelfpn_forward():
+    model = VoxelFPN(planes=(8, 16, 16), feature_size=32)
+    g = 16
+    occ = voxelize(jax.random.uniform(jax.random.PRNGKey(0), (2, 128, 3)) * 2 - 1, g)
+    variables = model.init(jax.random.PRNGKey(1), occ, train=False)
+    out = model.apply(variables, occ, train=False)
+    assert out.shape == (2, 32)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_voxelfpn_permutation_invariant():
+    model = VoxelFPN(planes=(8, 16, 16), feature_size=32)
+    pts = jax.random.uniform(jax.random.PRNGKey(2), (1, 256, 3)) * 2 - 1
+    occ1 = voxelize(pts, 16)
+    occ2 = voxelize(pts[:, ::-1], 16)
+    variables = model.init(jax.random.PRNGKey(1), occ1, train=False)
+    e1 = model.apply(variables, occ1, train=False)
+    e2 = model.apply(variables, occ2, train=False)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-6)
+
+
+def test_tdn_tcn_drivers_end_to_end():
+    """Untrained nets through the full drivers on a small config."""
+    from midastouch_tpu.models.tcn import TCN
+    from midastouch_tpu.models.tdn import TDN
+    from midastouch_tpu.utils.config import compose
+
+    cfg = compose(
+        [
+            "tdn.render.width=60",
+            "tdn.render.height=80",
+            "tcn.model.grid_size=16",
+            "tcn.model.num_points=512",
+            "tcn.model.planes=[8,16,16]",
+            "tcn.model.feature_size=32",
+            "tcn.model.output_dim=32",
+        ]
+    )
+    bg = jnp.zeros((80, 60))
+    tdn = TDN(cfg.tdn, bg=bg, params_path="/nonexistent")
+    img = (np.random.default_rng(0).random((80, 60, 3)) * 255).astype(np.uint8)
+    hm = tdn.image2heightmap(img)
+    assert hm.shape == (80, 60)
+    mask = tdn.heightmap2mask(hm)
+    assert mask.shape == (80, 60) and mask.dtype == bool
+
+    emb = tdn.image2embedding(img)
+    np.testing.assert_allclose(float(jnp.linalg.norm(emb)), 1.0, atol=1e-5)
+
+    tcn = TCN(cfg.tcn, cfg.tdn.render, params_path="/nonexistent")
+    # synthetic bump heightmap with contact
+    hm2 = jnp.zeros((80, 60)).at[30:50, 20:40].set(30.0)
+    mask2 = jnp.zeros((80, 60), bool).at[30:50, 20:40].set(True)
+    code = tcn.cloud_to_tactile_code(hm2, mask2)
+    assert code.shape == (32,)
+    np.testing.assert_allclose(float(jnp.linalg.norm(code)), 1.0, atol=1e-4)
+    # batched path
+    codes = tcn.cloud_to_tactile_code(
+        jnp.stack([hm2, hm2]), jnp.stack([mask2, mask2])
+    )
+    assert codes.shape == (2, 32)
+    # identical inputs, identical codes
+    np.testing.assert_allclose(np.asarray(codes[0]), np.asarray(codes[1]), atol=1e-5)
