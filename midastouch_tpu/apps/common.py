@@ -1,0 +1,60 @@
+"""Shared app plumbing: mesh resolution, renderer/net construction."""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+
+from midastouch_tpu.geometry import procedural
+from midastouch_tpu.geometry.mesh import Mesh, load_mesh
+from midastouch_tpu.models.tcn import TCN
+from midastouch_tpu.models.tdn import TDN
+from midastouch_tpu.render.digit import DigitRenderer, RenderConfig
+from midastouch_tpu.utils import objects
+from midastouch_tpu.utils.misc import DIRS
+
+
+def resolve_mesh(obj_model: str) -> Mesh:
+    """Procedural objects come from geometry/procedural.py; downloaded
+    assets live under DIRS['obj_models']/<obj>/nontextured.{npz,stl,obj}
+    (reference path scheme, filter.py:81)."""
+    if objects.is_procedural(obj_model):
+        return procedural.get_test_mesh(obj_model)
+    base = os.path.join(DIRS["obj_models"], obj_model)
+    for name in ("nontextured.npz", "nontextured.stl", "nontextured.obj", "nontextured_decimated.stl"):
+        p = os.path.join(base, name)
+        if os.path.exists(p):
+            return load_mesh(p)
+    raise FileNotFoundError(
+        f"no mesh for {obj_model!r} under {base}; procedural objects: "
+        f"{objects.procedural_models}"
+    )
+
+
+def make_renderer(cfg, mesh: Mesh, randomize: bool = False, seed: int = 0):
+    rc = RenderConfig.from_cfg(
+        cfg.tdn.render, max_faces=int(cfg.tpu.render_max_faces)
+    )
+    return DigitRenderer(rc, mesh, randomize=randomize, seed=seed)
+
+
+def compute_dtype(cfg):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
+        str(cfg.tpu.compute_dtype)
+    ]
+
+
+def make_nets(cfg, bg, real: bool = False):
+    dtype = compute_dtype(cfg)
+    tdn = TDN(cfg.tdn, bg=bg, real=real, compute_dtype=dtype)
+    tcn = TCN(cfg.tcn, cfg.tdn.render, compute_dtype=dtype)
+    return tdn, tcn
+
+
+def codebook_path(obj_model: str) -> str:
+    return os.path.join(DIRS["trees"], obj_model, "codebook.npz")
+
+
+def small_parts(obj_model: str) -> bool:
+    return objects.is_small_part(obj_model)

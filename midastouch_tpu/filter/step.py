@@ -1,0 +1,177 @@
+"""Fused filter step: the whole sense-update loop as two jit regions.
+
+The reference's per-frame loop (filter.py:131-233) crosses the GPU/CPU
+boundary at least five times (nanoflann kNN, sklearn KDTree, DBSCAN,
+Python resampler, numpy stats). Here:
+
+  * `sense(image)`            — TDN -> mask -> TCN, one jit
+  * `update(state, code, ...)`— motion + codebook NN + weighting + pruning
+                                + clustering + annealing + resampling + RMSE,
+                                one jit, no host transfers
+
+`initialize` reproduces filter.py:158-160 (spawn around the start pose,
+then snap onto the codebook manifold).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from midastouch_tpu.codebook import Codebook
+from midastouch_tpu.filter.particles import ParticleState
+from midastouch_tpu.filter.pf import ParticleFilter
+
+
+class StepStats(NamedTuple):
+    rmse_t: jax.Array  # () m
+    rmse_r: jax.Array  # () deg
+    mean_std: jax.Array  # () cluster sigma (m)
+    n_active: jax.Array  # () int32
+    n_clusters: jax.Array  # () int32
+    cluster_poses: jax.Array  # (K, 4, 4)
+    cluster_stds: jax.Array  # (K, 3)
+    cluster_valid: jax.Array  # (K,)
+    drifted: jax.Array  # () bool
+
+
+class FilterStep:
+    """Owns the jitted closures binding (pf, codebook, nets)."""
+
+    def __init__(
+        self,
+        pf: ParticleFilter,
+        codebook: Codebook,
+        tdn=None,
+        tcn=None,
+        floor: int = 1000,
+        small_parts: bool = False,
+    ):
+        self.pf = pf
+        self.codebook = codebook
+        self.tdn = tdn
+        self.tcn = tcn
+        self.floor = floor
+        self.small_parts = small_parts
+        self._update = jax.jit(self._update_impl)
+        self._sense = jax.jit(self._sense_impl) if (tdn and tcn) else None
+
+    # -- sensing (filter.py:142-148) ------------------------------------------
+
+    def _sense_impl(self, tdn_vars, tcn_vars, image, key):
+        from midastouch_tpu.ops import image as image_ops
+
+        img = image_ops.normalize_minmax(jnp.asarray(image, jnp.float32))
+        hm = self.tdn.model.apply(tdn_vars, img[None], train=False)[0]
+        mask = image_ops.heightmap_to_mask(
+            hm, self.tdn.bg, self.tdn.b, self.tdn.r, self.tdn.clip,
+            self.small_parts,
+        )
+        clouds = self.tcn.heightmaps_to_clouds(key, hm[None], mask[None])
+        code = self.tcn._embed_impl(tcn_vars, clouds)[0]
+        return code, hm, mask
+
+    def sense(self, image, key):
+        """Tactile image -> (code, heightmap, mask). Requires tdn+tcn."""
+        return self._sense(
+            self.tdn.variables, self.tcn.variables, image, key
+        )
+
+    # -- init (filter.py:158-160) ------------------------------------------------
+
+    def initialize(
+        self, key: jax.Array, gt_pose: jax.Array, num_particles: int
+    ) -> ParticleState:
+        state = self.pf.init_filter(key, gt_pose, num_particles)
+        q, t, _, _, _, _ = self.codebook.se3_nn(
+            state.q, state.t, backend=self.pf.params.backend
+        )
+        return state._replace(q=q, t=t)
+
+    # -- fused measurement+motion update (filter.py:150-199) ----------------------
+
+    def _update_impl(
+        self,
+        state: ParticleState,
+        key: jax.Array,
+        code: jax.Array,
+        odom_q: jax.Array,
+        odom_t: jax.Array,
+        gt_pose: jax.Array,
+        do_cluster: jax.Array,
+        do_measurement: jax.Array,
+    ):
+        pf = self.pf
+        k_motion, k_resample = jax.random.split(key)
+
+        # motion
+        state = pf.motion_model(k_motion, state, odom_q, odom_t)
+
+        # RMSE before the measurement update (reference order, :164-166)
+        rmse_t, rmse_r = pf.rmse(state, gt_pose)
+
+        # measurement: codebook NN + cosine weighting
+        nn_q, nn_t, _, _, nn_codes, _ = self.codebook.se3_nn(
+            state.q, state.t, backend=pf.params.backend
+        )
+        w = pf.get_similarity(code, nn_codes, state.alive)
+        w = jnp.where(do_measurement, w, state.alive_f)
+        state = state._replace(weights=w)
+
+        # drift pruning + all-drifted re-projection (:176-179)
+        state, drifted = pf.remove_invalid_particles(state)
+        state = state._replace(
+            q=jnp.where(drifted, nn_q, state.q),
+            t=jnp.where(drifted, nn_t, state.t),
+        )
+
+        # clustering every N steps (:182-183)
+        state = jax.lax.cond(
+            do_cluster, pf.cluster_particles, lambda s: s, state
+        )
+        cluster_poses, cluster_stds, cluster_valid = pf.get_cluster_centers(state)
+        mean_std = pf.mean_cluster_std(cluster_stds, cluster_valid)
+
+        # anneal + resample (:189-190)
+        state = pf.annealing(state, mean_std, floor=self.floor)
+        state = pf.resampler(k_resample, state)
+
+        stats = StepStats(
+            rmse_t=rmse_t,
+            rmse_r=rmse_r,
+            mean_std=mean_std,
+            n_active=state.n_active,
+            n_clusters=jnp.sum(cluster_valid.astype(jnp.int32)),
+            cluster_poses=cluster_poses,
+            cluster_stds=cluster_stds,
+            cluster_valid=cluster_valid,
+            drifted=drifted,
+        )
+        return state, stats
+
+    def update(
+        self,
+        state: ParticleState,
+        key: jax.Array,
+        code: jax.Array,
+        odom_q: jax.Array,
+        odom_t: jax.Array,
+        gt_pose: jax.Array,
+        do_cluster: bool = False,
+        do_measurement: bool = True,
+    ):
+        return self._update(
+            state, key, code, odom_q, odom_t, gt_pose,
+            jnp.asarray(do_cluster), jnp.asarray(do_measurement),
+        )
+
+    # -- heatmap weights for viz (filter.py:213-215) ------------------------------
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def heatmap_weights(self, code: jax.Array) -> jax.Array:
+        from midastouch_tpu.ops import knn
+
+        return knn.cosine_similarity(code, self.codebook.embeddings)
