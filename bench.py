@@ -1,0 +1,96 @@
+"""Benchmark: fused filter update steps/sec at reference scale.
+
+Scenario mirrors the reference's baseline config (BASELINE.md): 50k
+particles, 50k-entry x 256-d codebook, drift-pruning vertex table, one
+cluster refresh per 50 steps amortized in. The reference's loop runs at
+~1-10 Hz on a CUDA GPU because every step round-trips nanoflann/sklearn/
+DBSCAN/WeightedRandomSampler through the CPU (SURVEY.md section 3.1);
+baseline is pinned at 10 steps/s (its best case).
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_STEPS_PER_SEC = 10.0
+
+N_PARTICLES = 50_000
+CODEBOOK_SIZE = 50_000
+EMB_DIM = 256
+WARMUP = 5
+ITERS = 50
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from midastouch_tpu.codebook import Codebook
+    from midastouch_tpu.filter.pf import FilterParams, ParticleFilter
+    from midastouch_tpu.filter.step import FilterStep
+    from midastouch_tpu.geometry import procedural
+    from midastouch_tpu.geometry.mesh import sample_poses_on_mesh
+
+    rng = np.random.default_rng(0)
+    mesh = procedural.icosphere(radius=0.04, subdivisions=4)
+
+    poses = sample_poses_on_mesh(mesh, CODEBOOK_SIZE, rng, edges=False)
+    cam = poses.copy()
+    cam[:, :3, 3] += cam[:, :3, 2] * 0.022
+    emb = rng.normal(size=(CODEBOOK_SIZE, EMB_DIM)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    codebook = Codebook.from_poses(poses, cam, emb)
+
+    pf = ParticleFilter(
+        params=FilterParams(init_trans_noise=mesh.scale / 3.0),
+        mesh_vertices=jnp.asarray(mesh.downsampled_vertices(1)),
+        mesh_scale=mesh.scale,
+    )
+    step = FilterStep(pf, codebook, floor=1000)
+
+    key = jax.random.PRNGKey(0)
+    key, k0 = jax.random.split(key)
+    state = step.initialize(k0, jnp.asarray(poses[0], dtype=jnp.float32), N_PARTICLES)
+    gt_pose = jnp.asarray(poses[0], dtype=jnp.float32)
+    code = jnp.asarray(emb[0])
+    odom_q = jnp.array([1.0, 0.0, 0.0, 0.0])
+    odom_t = jnp.array([5e-4, 0.0, 0.0])
+
+    def run(state, key, i):
+        key, k = jax.random.split(key)
+        state, stats = step.update(
+            state, k, code, odom_q, odom_t, gt_pose,
+            do_cluster=(i % 50 == 0), do_measurement=True,
+        )
+        return state, key, stats
+
+    for i in range(WARMUP):
+        state, key, stats = run(state, key, i)
+    jax.block_until_ready(state.t)
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        state, key, stats = run(state, key, i)  # i=0 includes a cluster pass
+    jax.block_until_ready(state.t)
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"filter update steps/sec @ {N_PARTICLES//1000}k particles, {CODEBOOK_SIZE//1000}k codebook",
+                "value": round(steps_per_sec, 2),
+                "unit": "steps/s",
+                "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

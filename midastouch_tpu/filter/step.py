@@ -49,6 +49,7 @@ class FilterStep:
         tcn=None,
         floor: int = 1000,
         small_parts: bool = False,
+        softmax: bool = True,
     ):
         self.pf = pf
         self.codebook = codebook
@@ -56,6 +57,9 @@ class FilterStep:
         self.tcn = tcn
         self.floor = floor
         self.small_parts = small_parts
+        # sim path softmaxes similarity weights (filter.py:172); the real
+        # path uses raw cosine scores (filter_real.py:209)
+        self.softmax = softmax
         self._update = jax.jit(self._update_impl)
         self._sense = jax.jit(self._sense_impl) if (tdn and tcn) else None
 
@@ -95,6 +99,7 @@ class FilterStep:
 
     def _update_impl(
         self,
+        codebook: Codebook,
         state: ParticleState,
         key: jax.Array,
         code: jax.Array,
@@ -114,10 +119,10 @@ class FilterStep:
         rmse_t, rmse_r = pf.rmse(state, gt_pose)
 
         # measurement: codebook NN + cosine weighting
-        nn_q, nn_t, _, _, nn_codes, _ = self.codebook.se3_nn(
+        nn_q, nn_t, _, _, nn_codes, _ = codebook.se3_nn(
             state.q, state.t, backend=pf.params.backend
         )
-        w = pf.get_similarity(code, nn_codes, state.alive)
+        w = pf.get_similarity(code, nn_codes, state.alive, softmax=self.softmax)
         w = jnp.where(do_measurement, w, state.alive_f)
         state = state._replace(weights=w)
 
@@ -164,7 +169,7 @@ class FilterStep:
         do_measurement: bool = True,
     ):
         return self._update(
-            state, key, code, odom_q, odom_t, gt_pose,
+            self.codebook, state, key, code, odom_q, odom_t, gt_pose,
             jnp.asarray(do_cluster), jnp.asarray(do_measurement),
         )
 

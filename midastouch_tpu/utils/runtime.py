@@ -1,0 +1,33 @@
+"""Runtime setup: persistent XLA compilation cache + profiling helpers.
+
+The TPU-tunnel backend in this environment compiles slowly (~20-40 s per
+program); the on-disk cache makes every program after the first run load
+in milliseconds. Apps and bench call `setup()` before first trace.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def setup(cache_dir: str | None = None) -> None:
+    import jax
+
+    cache_dir = cache_dir or os.environ.get(
+        "MIDASTOUCH_TPU_JAX_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without these flags
+
+
+def profile_trace(log_dir: str):
+    """Context manager around jax.profiler (replaces the reference's yappi
+    wrapping, filter.py:262-277)."""
+    import jax
+
+    return jax.profiler.trace(log_dir)
