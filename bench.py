@@ -30,6 +30,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from midastouch_tpu.utils import runtime
+
+    runtime.setup()  # persistent compile cache across bench runs
+
     from midastouch_tpu.codebook import Codebook
     from midastouch_tpu.filter.pf import FilterParams, ParticleFilter
     from midastouch_tpu.filter.step import FilterStep
@@ -39,12 +43,16 @@ def main() -> None:
     rng = np.random.default_rng(0)
     mesh = procedural.icosphere(radius=0.04, subdivisions=4)
 
-    poses = sample_poses_on_mesh(mesh, CODEBOOK_SIZE, rng, edges=False)
-    cam = poses.copy()
-    cam[:, :3, 3] += cam[:, :3, 2] * 0.022
-    emb = rng.normal(size=(CODEBOOK_SIZE, EMB_DIM)).astype(np.float32)
-    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
-    codebook = Codebook.from_poses(poses, cam, emb)
+    # setup-only math on the host CPU backend: keeps slow one-off TPU
+    # compiles out of the benchmark path
+    with jax.default_device(jax.devices("cpu")[0]):
+        poses = sample_poses_on_mesh(mesh, CODEBOOK_SIZE, rng, edges=False)
+        cam = poses.copy()
+        cam[:, :3, 3] += cam[:, :3, 2] * 0.022
+        emb = rng.normal(size=(CODEBOOK_SIZE, EMB_DIM)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        codebook = Codebook.from_poses(poses, cam, emb)
+    codebook = jax.device_put(codebook, jax.devices()[0])
 
     pf = ParticleFilter(
         params=FilterParams(init_trans_noise=mesh.scale / 3.0),

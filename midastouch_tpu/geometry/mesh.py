@@ -111,7 +111,13 @@ class Mesh:
     def feature_edges(self, angle_deg: float = 10.0) -> np.ndarray:
         """Indices (E, 2) of vertex pairs on sharp edges — dihedral angle
         above `angle_deg` or boundary edges (pyvista extract_feature_edges
-        equivalent, reference modules/mesh.py:46-69)."""
+        equivalent, reference modules/mesh.py:46-69). Uses the native C++
+        engine when built; numpy otherwise."""
+        from midastouch_tpu import native
+
+        out = native.feature_edges(self.vertices, self.faces, angle_deg)
+        if out is not None:
+            return out
         f = self.faces
         edges = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
         eface = np.repeat(np.arange(len(f)), 3)

@@ -89,6 +89,62 @@ def random_surface_walk(
     return np.asarray(T)
 
 
+def random_geodesic_poses(
+    mesh: Mesh,
+    num_steps: int,
+    rng: np.random.Generator,
+    num_waypoints: int = 5,
+    yaw_amplitude_deg: float = 30.0,
+    yaw_period: int = 40,
+) -> np.ndarray:
+    """Geodesic waypoint-chain trajectory (reference random_geodesic_poses,
+    data_gen/utils.py:37-111): random surface waypoints connected by
+    shortest paths over the mesh edge graph (native Dijkstra engine),
+    positions resampled to `num_steps`, poses with oscillating yaw."""
+    import jax
+    import jax.numpy as jnp
+
+    from midastouch_tpu import native
+    from midastouch_tpu.ops import se3
+
+    nv = len(mesh.vertices)
+    waypoints = rng.choice(nv, size=num_waypoints, replace=False)
+    chain: list[int] = []
+    for a, b in zip(waypoints[:-1], waypoints[1:]):
+        seg = native.geodesic_path(mesh.vertices, mesh.faces, int(a), int(b))
+        chain.extend(seg[:-1].tolist())
+    chain.append(int(waypoints[-1]))
+    pts = mesh.vertices[chain]
+
+    # arclength-uniform resample to num_steps
+    seglen = np.linalg.norm(np.diff(pts, axis=0), axis=1)
+    s = np.concatenate([[0.0], np.cumsum(seglen)])
+    total = max(s[-1], 1e-9)
+    targets = np.linspace(0.0, total, num_steps)
+    walk_pts = np.stack(
+        [np.interp(targets, s, pts[:, k]) for k in range(3)], axis=1
+    ).astype(np.float32)
+
+    # normals from the nearest chain vertex
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(pts)
+    _, j = tree.query(walk_pts)
+    walk_nrm = mesh.vertex_normals[np.asarray(chain)[j]]
+
+    yaw = np.radians(yaw_amplitude_deg) * np.sin(
+        2.0 * np.pi * np.arange(num_steps) / yaw_period
+    )
+    T = se3.pose_from_vertex_normal(
+        jnp.asarray(walk_pts),
+        jnp.asarray(walk_nrm),
+        0.0,
+        jnp.asarray(yaw.astype(np.float32)),
+        jax.random.PRNGKey(int(rng.integers(0, 2**31 - 1))),
+    )
+    return np.asarray(T)
+
+
 def manual_waypoint_path(
     mesh: Mesh,
     waypoints: np.ndarray,

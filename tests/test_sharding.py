@@ -1,0 +1,63 @@
+"""Sharding tests over the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from midastouch_tpu.parallel.sharding import (
+    make_device_mesh,
+    make_sharded_update,
+    shard_state,
+    state_shardings,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    import __graft_entry__ as g
+
+    step, state, (code, odom_q, odom_t, gt_pose), key = g._tiny_setup(
+        capacity=512, codebook_size=256
+    )
+    return step, state, code, odom_q, odom_t, gt_pose, key
+
+
+def test_mesh_has_8_devices():
+    mesh = make_device_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_update_matches_unsharded(tiny):
+    step, state, code, odom_q, odom_t, gt_pose, key = tiny
+    mesh = make_device_mesh(8)
+
+    sstate = shard_state(state, mesh)
+    update = make_sharded_update(step, mesh)
+    out_sharded, stats_sharded = update(
+        sstate, key, code, odom_q, odom_t, gt_pose,
+        do_cluster=True, do_measurement=True,
+    )
+    out_ref, stats_ref = step.update(
+        state, key, code, odom_q, odom_t, gt_pose,
+        do_cluster=True, do_measurement=True,
+    )
+    # same seeds + same math -> identical trajectories modulo fp reorder
+    np.testing.assert_allclose(
+        np.asarray(out_sharded.t), np.asarray(out_ref.t), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(stats_sharded.rmse_t), float(stats_ref.rmse_t), rtol=1e-4
+    )
+    assert int(stats_sharded.n_active) == int(stats_ref.n_active)
+    # output really is sharded over the mesh
+    assert len(out_sharded.t.sharding.device_set) == 8
+
+
+def test_state_shardings_pytree(tiny):
+    step, state, *_ = tiny
+    mesh = make_device_mesh(8)
+    sh = state_shardings(mesh)
+    sstate = shard_state(state, mesh)
+    assert sstate.q.sharding.is_equivalent_to(sh.q, ndim=2)
+    assert len(np.asarray(sstate.t)) == state.capacity
