@@ -240,6 +240,7 @@ class DigitRenderer:
             (cfg.height, cfg.width), cfg.cam_dist, dtype=jnp.float32
         )
         self.press_depth = 0.001
+        self._batched_render = None
 
     def _split(self):
         self._key, k = jax.random.split(self._key)
@@ -275,18 +276,11 @@ class DigitRenderer:
             c.width, c.height, c.ray_chunk, min(c.max_faces, self.tri.shape[0]),
         )
 
-    def render(
-        self, gel_pose: jax.Array, press_depth: float | jax.Array | None = None
-    ):
-        """Render (tactile RGB, gel heightmap px, contact mask) at a gel
-        pose with over-penetration-compensated press depth
-        (digit_renderer.py:313-359, two-pass here instead of conditional)."""
+    def _render_impl(self, gel_pose: jax.Array, press_depth: jax.Array,
+                     light: jax.Array):
+        """Jit-safe single-touch render core (two-pass over-pen comp)."""
         c = self.cfg
-        if press_depth is None:
-            press_depth = self.press_depth
-        press_depth = jnp.asarray(press_depth, dtype=jnp.float32)
-        cam0 = self.gel2cam(jnp.asarray(gel_pose, dtype=jnp.float32))
-
+        cam0 = self.gel2cam(gel_pose)
         # pass 1: zero press — measure surface protrusion above gel plane
         d0 = self.render_depth(cam0)
         protrusion = jnp.max(c.cam_dist - d0)
@@ -299,11 +293,45 @@ class DigitRenderer:
 
         heightmap = image_ops.cam_depth_to_gel_px(depth, c.pixmm, c.cam_dist)
         contact = (self.bg_depth - depth) > jnp.abs(press_eff * 0.2)
-        light = 1.0
-        if self.randomize:
-            light = 0.8 + 0.4 * jax.random.uniform(self._split(), ())
         rgb = shade_rgb(heightmap, contact, c.pixmm, light_scale=light)
         return rgb, heightmap, contact, press_eff, cam
+
+    def render(
+        self, gel_pose: jax.Array, press_depth: float | jax.Array | None = None
+    ):
+        """Render (tactile RGB, gel heightmap px, contact mask) at a gel
+        pose with over-penetration-compensated press depth
+        (digit_renderer.py:313-359, two-pass here instead of conditional)."""
+        if press_depth is None:
+            press_depth = self.press_depth
+        light = jnp.asarray(1.0)
+        if self.randomize:
+            light = 0.8 + 0.4 * jax.random.uniform(self._split(), ())
+        return self._render_impl(
+            jnp.asarray(gel_pose, dtype=jnp.float32),
+            jnp.asarray(press_depth, dtype=jnp.float32),
+            light,
+        )
+
+    def render_batch(self, gel_poses: jax.Array, press_depths: jax.Array,
+                     lights: jax.Array | None = None):
+        """Batched render: ONE jit, lax.map over poses — amortizes the
+        per-call dispatch latency that dominates host-loop rendering.
+        Returns stacked (rgb, heightmap, mask, press_eff, cam)."""
+        if lights is None:
+            lights = jnp.ones(gel_poses.shape[0], dtype=jnp.float32)
+        if self._batched_render is None:
+            self._batched_render = jax.jit(
+                lambda poses, press, lights: jax.lax.map(
+                    lambda args: self._render_impl(*args),
+                    (poses, press, lights),
+                )
+            )
+        return self._batched_render(
+            jnp.asarray(gel_poses, dtype=jnp.float32),
+            jnp.asarray(press_depths, dtype=jnp.float32),
+            lights,
+        )
 
     def heightmap2Pointcloud(self, heightmap: jax.Array, contact_mask=None):
         """Camera-frame cloud + validity mask (digit_renderer.py:210-248)."""
@@ -316,6 +344,25 @@ class DigitRenderer:
 
     # -- batched APIs (digit_renderer.py:250-359) ----------------------------
 
+    def _render_chunked(self, poses: np.ndarray, press: np.ndarray,
+                        lights: np.ndarray, chunk: int = 64):
+        """Fixed-chunk batched rendering (pads the tail) -> numpy stacks."""
+        n = poses.shape[0]
+        pad = (-n) % chunk
+        if pad:
+            poses = np.concatenate([poses, np.repeat(poses[-1:], pad, 0)])
+            press = np.concatenate([press, np.repeat(press[-1:], pad, 0)])
+            lights = np.concatenate([lights, np.repeat(lights[-1:], pad, 0)])
+        outs = []
+        for i in range(0, poses.shape[0], chunk):
+            out = self.render_batch(
+                poses[i : i + chunk], press[i : i + chunk], lights[i : i + chunk]
+            )
+            outs.append([np.asarray(x) for x in out])
+        cat = [np.concatenate([o[k] for o in outs])[:n] for k in range(5)]
+        rgbs, hms, masks, press_eff, cams = cat
+        return rgbs, hms, masks, press_eff, cams
+
     def render_sensor_poses(self, poses: np.ndarray, num_depths: int = 1):
         """Render an unordered pose set; returns stacked arrays:
         (heightmaps, masks, images, cam_poses, gel_poses)."""
@@ -323,20 +370,19 @@ class DigitRenderer:
         if num_depths > 1:
             poses = np.repeat(poses, num_depths, axis=0)
         n = poses.shape[0]
-        press = jax.random.uniform(
+        press = np.asarray(jax.random.uniform(
             self._split(), (n,), minval=self.cfg.pen_min, maxval=self.cfg.pen_max
+        ))
+        lights = np.ones(n, np.float32)
+        if self.randomize:
+            lights = 0.8 + 0.4 * np.asarray(
+                jax.random.uniform(self._split(), (n,))
+            )
+        rgbs, hms, masks, press_eff, cams = self._render_chunked(
+            poses, press, lights
         )
-        hms, masks, rgbs, cams, gels = [], [], [], [], []
-        for i in range(n):
-            rgb, hm, mask, press_eff, cam = self.render(poses[i], press[i])
-            gel = self.cam2gel(cam)
-            hms.append(hm)
-            masks.append(mask)
-            rgbs.append(rgb)
-            cams.append(cam)
-            gels.append(gel)
-        stack = lambda xs: np.stack([np.asarray(x) for x in xs])
-        return stack(hms), stack(masks), stack(rgbs), stack(cams), stack(gels)
+        gels = np.asarray(self.cam2gel(jnp.asarray(cams)))
+        return hms, masks, rgbs, cams, gels
 
     def render_sensor_trajectory(
         self, poses: np.ndarray, m_noise: dict | None = None, pen_ratio: float = 1.0
@@ -356,16 +402,10 @@ class DigitRenderer:
             press = press + delta if lo <= press + delta <= hi else press - delta
             press_list.append(press)
 
-        hms, masks, rgbs, cams, gels = [], [], [], [], []
-        for i in range(n):
-            rgb, hm, mask, press_eff, cam = self.render(poses[i], press_list[i])
-            hms.append(hm)
-            masks.append(mask)
-            rgbs.append(rgb)
-            cams.append(np.asarray(cam))
-            gels.append(np.asarray(self.cam2gel(cam)))
-        gelposes = np.stack(gels)
-        camposes = np.stack(cams)
+        rgbs, hms, masks, press_eff, camposes = self._render_chunked(
+            poses, np.asarray(press_list, np.float32), np.ones(n, np.float32)
+        )
+        gelposes = np.asarray(self.cam2gel(jnp.asarray(camposes)))
 
         meas = gelposes
         if m_noise is not None:
@@ -380,5 +420,4 @@ class DigitRenderer:
             Tn[:, 3, 3] = 1
             meas = gelposes @ Tn
 
-        stack = lambda xs: np.stack([np.asarray(x) for x in xs])
-        return stack(hms), stack(masks), stack(rgbs), camposes, gelposes, meas
+        return hms, masks, rgbs, camposes, gelposes, meas
