@@ -166,6 +166,51 @@ class Mesh:
         return pts.astype(np.float32), nrm.astype(np.float32), k
 
 
+def decimate(mesh: Mesh, target_faces: int, iters: int = 8) -> Mesh:
+    """Vertex-clustering decimation to ~target_faces (replaces the
+    reference's pyvista quadric decimation used for viz meshes,
+    eval/decimate_meshes.py:1-26). Binary-searches the grid resolution."""
+    if len(mesh.faces) <= target_faces:
+        return mesh
+    lo, hi = 4, 512
+    best = mesh
+    for _ in range(iters):
+        g = (lo + hi) // 2
+        m = _cluster_decimate(mesh, g)
+        if len(m.faces) > target_faces:
+            hi = g
+        else:
+            lo = g
+            best = m
+        if hi - lo <= 1:
+            break
+    # prefer the finest mesh not exceeding ~1.3x target
+    m = _cluster_decimate(mesh, hi)
+    return m if len(m.faces) <= 1.3 * target_faces else best
+
+
+def _cluster_decimate(mesh: Mesh, grid: int) -> Mesh:
+    lo, hi = mesh.bounds
+    span = np.maximum(hi - lo, 1e-12)
+    cell = (mesh.vertices - lo) / span * (grid - 1e-4)
+    key = np.floor(cell).astype(np.int64)
+    flat = (key[:, 0] * grid + key[:, 1]) * grid + key[:, 2]
+    uniq, inverse = np.unique(flat, return_inverse=True)
+    # representative vertex = mean of cluster
+    verts = np.zeros((len(uniq), 3), np.float64)
+    counts = np.zeros(len(uniq), np.int64)
+    np.add.at(verts, inverse, mesh.vertices)
+    np.add.at(counts, inverse, 1)
+    verts /= counts[:, None]
+    faces = inverse[mesh.faces]
+    ok = (
+        (faces[:, 0] != faces[:, 1])
+        & (faces[:, 1] != faces[:, 2])
+        & (faces[:, 0] != faces[:, 2])
+    )
+    return Mesh(verts.astype(np.float32), faces[ok].astype(np.int32))
+
+
 def sample_poses_on_mesh(
     mesh: Mesh,
     num_samples: int,

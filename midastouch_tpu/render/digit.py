@@ -92,40 +92,53 @@ def cull_faces(
     return tri[idx]
 
 
-def _moller_trumbore(
-    origins: jax.Array, dirs: jax.Array, tri: jax.Array, far: float
-) -> jax.Array:
-    """Min hit distance per ray. origins (R,3) or (3,), dirs (R,3),
-    tri (K,3,3) -> t (R,) with `far` where no hit."""
+def _woop_transforms(tri: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-triangle world->barycentric affine maps (Woop et al. style).
+
+    M = [e1 e2 n]^-1 (closed-form adjugate) so that for p = v0 + u e1 +
+    v e2 + w n:  (u, v, w) = M (p - v0). Rays then intersect via two dot
+    products per triangle instead of three cross products per (ray, tri)
+    pair — the heavy contraction becomes a single MXU matmul.
+
+    Returns M (K, 3, 3) and b = -M v0 (K, 3).
+    """
     v0 = tri[:, 0]
-    e1 = tri[:, 1] - tri[:, 0]  # (K,3)
-    e2 = tri[:, 2] - tri[:, 0]
-    eps = 1e-9
+    e1 = tri[:, 1] - v0
+    e2 = tri[:, 2] - v0
+    n = jnp.cross(e1, e2)
+    # A = [e1 e2 n] columns; adjugate rows are cross products of columns
+    r0 = jnp.cross(e2, n)  # ~ (e2 x n)
+    r1 = jnp.cross(n, e1)
+    r2 = n
+    det = jnp.sum(e1 * r0, axis=-1, keepdims=True)  # = e1.(e2 x n) = |n|^2
+    inv_det = jnp.where(jnp.abs(det) > 1e-18, 1.0 / det, 0.0)
+    M = jnp.stack([r0, r1, r2], axis=1) * inv_det[..., None]  # (K, 3, 3)
+    b = -(M @ v0[..., None])[..., 0]
+    return M, b
 
-    def chunk_fn(dchunk_and_o):
-        d, o = dchunk_and_o  # (C,3), (C,3)
-        p = jnp.cross(d[:, None, :], e2[None, :, :])  # (C,K,3)
-        det = jnp.sum(p * e1[None, :, :], axis=-1)  # (C,K)
-        inv = jnp.where(jnp.abs(det) > eps, 1.0 / det, 0.0)
-        s = o[:, None, :] - v0[None, :, :]  # (C,K,3)
-        u = jnp.sum(s * p, axis=-1) * inv
-        q = jnp.cross(s, e1[None, :, :])
-        v = jnp.sum(q * d[:, None, :], axis=-1) * inv
-        t = jnp.sum(q * e2[None, :, :], axis=-1) * inv
-        hit = (
-            (jnp.abs(det) > eps)
-            & (u >= 0.0)
-            & (v >= 0.0)
-            & (u + v <= 1.0)
-            & (t > 1e-7)
-        )
-        return jnp.min(jnp.where(hit, t, far), axis=-1)  # (C,)
 
-    return chunk_fn((dirs, origins))
+def _raycast_chunk(
+    o_bary: jax.Array,  # (K, 3)  M @ origin + b (shared by all rays)
+    Mt: jax.Array,  # (3, 3K)   transform rows flattened for one matmul
+    dirs: jax.Array,  # (C, 3)  world-frame ray dirs (dz = -1 param)
+    far: float,
+) -> jax.Array:
+    """Min hit parameter per ray over all K triangles."""
+    k = o_bary.shape[0]
+    d_bary = (dirs @ Mt).reshape(dirs.shape[0], k, 3)  # (C, K, 3) via MXU
+    du, dv, dw = d_bary[..., 0], d_bary[..., 1], d_bary[..., 2]
+    ou, ov, ow = o_bary[:, 0], o_bary[:, 1], o_bary[:, 2]
+    safe = jnp.abs(dw) > 1e-12
+    t = -ow[None, :] / jnp.where(safe, dw, 1.0)  # (C, K)
+    u = ou[None, :] + t * du
+    v = ov[None, :] + t * dv
+    hit = safe & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > 1e-7)
+    return jnp.min(jnp.where(hit, t, far), axis=-1)  # (C,)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "ray_chunk", "max_faces")
+    jax.jit,
+    static_argnames=("cam_dist", "width", "height", "ray_chunk", "max_faces", "use_pallas"),
 )
 def raycast_depth(
     tri: jax.Array,
@@ -137,6 +150,7 @@ def raycast_depth(
     height: int,
     ray_chunk: int,
     max_faces: int,
+    use_pallas: bool = False,
 ) -> jax.Array:
     """Depth map (H, W) in meters along -z for one camera pose (4,4).
     Rays beyond the gel plane clamp to `cam_dist` (the flat-gel background,
@@ -145,23 +159,43 @@ def raycast_depth(
     tip = o + R @ jnp.array([0.0, 0.0, -cam_dist], dtype=cam_pose.dtype)
     tri_near = cull_faces(tri, centroids, tip, max_faces)
 
-    dirs_world = pix_dirs @ R.T  # (H*W, 3); ray param still = depth
-    n = dirs_world.shape[0]
-    pad = (-n) % ray_chunk
-    if pad:
-        dirs_world = jnp.concatenate(
-            [dirs_world, jnp.zeros((pad, 3), dirs_world.dtype)], axis=0
-        )
-    nchunk = dirs_world.shape[0] // ray_chunk
+    M, b = _woop_transforms(tri_near)  # (K,3,3), (K,3) — once per pose
+    o_bary = (M @ o[None, :, None])[..., 0] + b  # (K, 3)
+    n = pix_dirs.shape[0]
     far = 10.0 * cam_dist
 
-    def body(d):
-        oo = jnp.broadcast_to(o, d.shape)
-        return _moller_trumbore(oo, d, tri_near, far)
+    if use_pallas:
+        from midastouch_tpu.render.raycast_pallas import _TK, _TR, raycast_min_t
 
-    t = jax.lax.map(body, dirs_world.reshape(nchunk, ray_chunk, 3))
-    depth = jnp.minimum(t.reshape(-1)[:n].reshape(height, width), cam_dist)
-    return depth
+        # fold the camera rotation into the triangle transforms so the
+        # ray table stays pose-independent: d_bary = (M R) d_cam
+        Mc = M @ R  # (K, 3, 3)
+        k = Mc.shape[0]
+        kpad = (-k) % _TK
+        Mc = jnp.pad(Mc, ((0, kpad), (0, 0), (0, 0)))
+        obp = jnp.pad(o_bary, ((0, kpad), (0, 0)))
+        pad8 = lambda x: jnp.pad(x, ((0, 0), (0, 5)))
+        rpad = (-n) % _TR
+        dirs8 = jnp.pad(pix_dirs, ((0, rpad), (0, 5)))
+        t = raycast_min_t(
+            dirs8, pad8(Mc[:, 0]), pad8(Mc[:, 1]), pad8(Mc[:, 2]), obp, far
+        )[:n]
+    else:
+        # XLA fallback: chunked matmul + fused elementwise
+        Mt = M.transpose(2, 0, 1).reshape(3, -1)
+        dirs_world = pix_dirs @ R.T  # (H*W, 3); ray param still = depth
+        pad = (-n) % ray_chunk
+        if pad:
+            dirs_world = jnp.concatenate(
+                [dirs_world, jnp.zeros((pad, 3), dirs_world.dtype)], axis=0
+            )
+        nchunk = dirs_world.shape[0] // ray_chunk
+        t = jax.lax.map(
+            lambda d: _raycast_chunk(o_bary, Mt, d, far),
+            dirs_world.reshape(nchunk, ray_chunk, 3),
+        ).reshape(-1)[:n]
+
+    return jnp.minimum(t.reshape(height, width), cam_dist)
 
 
 def shade_rgb(
@@ -225,7 +259,13 @@ class DigitRenderer:
         mesh: Mesh,
         randomize: bool = False,
         seed: int = 0,
+        backend: str = "auto",
     ):
+        if backend == "auto":
+            backend = (
+                "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+            )
+        self.backend = backend
         self.cfg = cfg
         self.mesh = mesh
         self.randomize = randomize
@@ -274,6 +314,7 @@ class DigitRenderer:
         return raycast_depth(
             self.tri, self.centroids, cam_pose, self.pix_dirs, c.cam_dist,
             c.width, c.height, c.ray_chunk, min(c.max_faces, self.tri.shape[0]),
+            use_pallas=(self.backend == "pallas"),
         )
 
     def _render_impl(self, gel_pose: jax.Array, press_depth: jax.Array,

@@ -122,3 +122,35 @@ def test_render_trajectory_measurement_noise(rng):
     # measurement poses close to but not equal to gt
     dt = np.linalg.norm(meas[:, :3, 3] - gels[:, :3, 3], axis=1)
     assert 0 < dt.max() < 5e-3
+
+
+def test_pallas_raycast_matches_xla_interpret():
+    """Pallas depth kernel (interpret mode on CPU) == XLA path."""
+    import jax
+    from jax.experimental import pallas as pl
+
+    mesh = procedural.icosphere(radius=RADIUS, subdivisions=3)
+    r_xla = DigitRenderer(CFG, mesh, backend="xla")
+    pose = _touch_pose(1.0, 0.7)
+    cam = r_xla.gel2cam(jnp.asarray(pose, dtype=jnp.float32))
+    d_ref = np.asarray(r_xla.render_depth(cam))
+
+    import midastouch_tpu.render.raycast_pallas as rp
+    from midastouch_tpu.render import digit as digit_mod
+
+    orig = pl.pallas_call
+    try:
+        pl.pallas_call = lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+        rp.raycast_min_t._clear_cache()
+        digit_mod.raycast_depth._clear_cache()
+        r_pl = DigitRenderer(CFG, mesh, backend="pallas")
+        d_pl = np.asarray(r_pl.render_depth(cam))
+    finally:
+        pl.pallas_call = orig
+        rp.raycast_min_t._clear_cache()
+        digit_mod.raycast_depth._clear_cache()
+    np.testing.assert_allclose(d_pl, d_ref, atol=1e-6)
+    # sanity: geometry in view (some rays shorter than the far background)
+    cam_press = r_xla.add_press(cam, 0.001)
+    d2 = np.asarray(r_xla.render_depth(cam_press))
+    assert d2.min() < CFG.cam_dist - 1e-5
