@@ -165,21 +165,19 @@ def raycast_depth(
     far = 10.0 * cam_dist
 
     if use_pallas:
-        from midastouch_tpu.render.raycast_pallas import _TK, _TR, raycast_min_t
+        from midastouch_tpu.render.raycast_pallas import (
+            _TR,
+            pack_triangle_tables,
+            raycast_min_t,
+        )
 
         # fold the camera rotation into the triangle transforms so the
         # ray table stays pose-independent: d_bary = (M R) d_cam
         Mc = M @ R  # (K, 3, 3)
-        k = Mc.shape[0]
-        kpad = (-k) % _TK
-        Mc = jnp.pad(Mc, ((0, kpad), (0, 0), (0, 0)))
-        obp = jnp.pad(o_bary, ((0, kpad), (0, 0)))
-        pad8 = lambda x: jnp.pad(x, ((0, 0), (0, 5)))
+        m_t, ob_t = pack_triangle_tables(Mc, o_bary)
         rpad = (-n) % _TR
         dirs8 = jnp.pad(pix_dirs, ((0, rpad), (0, 5)))
-        t = raycast_min_t(
-            dirs8, pad8(Mc[:, 0]), pad8(Mc[:, 1]), pad8(Mc[:, 2]), obp, far
-        )[:n]
+        t = raycast_min_t(dirs8, m_t, ob_t, far)[:n]
     else:
         # XLA fallback: chunked matmul + fused elementwise
         Mt = M.transpose(2, 0, 1).reshape(3, -1)
@@ -262,9 +260,11 @@ class DigitRenderer:
         backend: str = "auto",
     ):
         if backend == "auto":
-            backend = (
-                "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
-            )
+            # The pallas kernel is faster once compiled, but Mosaic compiles
+            # through this environment's TPU tunnel are minutes-slow and not
+            # persistently cached; the XLA path compiles once and caches.
+            # Flip to "pallas" explicitly for long-running serving setups.
+            backend = "xla"
         self.backend = backend
         self.cfg = cfg
         self.mesh = mesh
