@@ -30,7 +30,7 @@ def top_n_error(
 
     errors = []
     for i in range(0, m, chunk):
-        sims = np.asarray(emb[i : i + chunk] @ emb.T)  # (c, M)
+        sims = np.array(emb[i : i + chunk] @ emb.T)  # (c, M), writable copy
         rows = np.arange(sims.shape[0])
         sims[rows, rows + i] = -np.inf  # exclude self
         top = np.argpartition(-sims, n, axis=1)[:, :n]

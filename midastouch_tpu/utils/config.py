@@ -59,7 +59,14 @@ def _load_yaml(path: str) -> dict:
 
 
 def _parse_value(text: str) -> Any:
-    return yaml.safe_load(text)
+    out = yaml.safe_load(text)
+    if isinstance(out, str):
+        # YAML 1.1 misses bare scientific notation ("3e-4"); hydra accepts it
+        try:
+            return float(out)
+        except ValueError:
+            return out
+    return out
 
 
 def _set_dotted(cfg: dict, dotted: str, value: Any) -> None:

@@ -1,0 +1,101 @@
+"""Config composition, data IO, decimation, and fused-step tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from midastouch_tpu.utils.config import compose
+
+
+def test_config_defaults():
+    cfg = compose([])
+    assert cfg.expt.obj_model == "004_sugar_box"
+    assert cfg.expt.params.num_particles == 50000
+    assert cfg.tdn.render.pixmm == 0.03
+    assert cfg.tcn.model.num_points == 4096
+
+
+def test_config_group_swap_and_overrides():
+    cfg = compose(["expt=mcmaster", "expt.params.num_particles=123",
+                   "tpu.backend=xla"])
+    assert cfg.expt.obj_model == "cotter-pin"
+    assert cfg.expt.params.num_particles == 123
+    assert cfg.tpu.backend == "xla"
+    # nested leaf parse types
+    cfg2 = compose(["expt.params.noise_t.sim=3e-4", "expt.render=false"])
+    assert abs(cfg2.expt.params.noise_t.sim - 3e-4) < 1e-12
+    assert cfg2.expt.render is False
+
+
+def test_config_yaml_roundtrip():
+    cfg = compose([])
+    import yaml
+
+    d = yaml.safe_load(cfg.to_yaml())
+    assert d["expt"]["obj_model"] == "004_sugar_box"
+
+
+def test_dataio_roundtrip(tmp_path, rng):
+    from midastouch_tpu.utils import dataio
+
+    n, h, w = 4, 16, 12
+    images = (rng.random((n, h, w, 3)) * 255).astype(np.uint8)
+    hms = rng.random((n, h, w)).astype(np.float32) * 60
+    masks = rng.random((n, h, w)) > 0.5
+    poses = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    path = str(tmp_path / "ds")
+    dataio.save_dataset(path, images, hms, masks, poses, poses, poses,
+                        m_noise={"sig_r": 0.5, "sig_t": 2e-4})
+    np.testing.assert_array_equal(dataio.load_images(path), images)
+    np.testing.assert_allclose(dataio.load_heightmaps(path), hms, atol=0.06)
+    np.testing.assert_array_equal(dataio.load_masks(path), masks)
+    cam, gel, meas = dataio.load_poses(path)
+    np.testing.assert_array_equal(cam, poses)
+
+
+def test_decimate():
+    from midastouch_tpu.geometry import procedural
+    from midastouch_tpu.geometry.mesh import decimate
+
+    m = procedural.icosphere(radius=0.04, subdivisions=4)  # 5120 faces
+    d = decimate(m, 500)
+    assert len(d.faces) <= 700
+    # still roughly a sphere
+    r = np.linalg.norm(d.vertices, axis=1)
+    assert 0.035 < r.mean() < 0.045
+
+
+def test_fused_step_runs_and_improves():
+    """FilterStep.update on CPU: state stays finite, weights respond to a
+    matching code."""
+    import __graft_entry__ as g
+
+    step, state, (code, odom_q, odom_t, gt_pose), key = g._tiny_setup(
+        capacity=512, codebook_size=256
+    )
+    for i in range(3):
+        key, k = jax.random.split(key)
+        state, stats = step.update(
+            state, k, code, odom_q, odom_t, gt_pose,
+            do_cluster=(i == 0), do_measurement=True,
+        )
+    assert np.isfinite(float(stats.rmse_t))
+    assert int(stats.n_active) > 0
+    assert np.all(np.isfinite(np.asarray(state.t)))
+    # cluster outputs populated
+    assert np.asarray(stats.cluster_valid).sum() >= 1
+
+
+def test_fused_step_measurement_gating():
+    import __graft_entry__ as g
+
+    step, state, (code, odom_q, odom_t, gt_pose), key = g._tiny_setup(
+        capacity=256, codebook_size=128
+    )
+    # with do_measurement=False weights must be uniform over alive
+    state2, _ = step.update(
+        state, key, code, odom_q, odom_t, gt_pose, do_measurement=False
+    )
+    # after resampling from uniform weights, gathered weights stay uniform
+    w = np.asarray(state2.weights)[np.asarray(state2.alive)]
+    assert np.allclose(w, w[0])
