@@ -106,7 +106,7 @@ def save_heightmap(path: str, hm: np.ndarray) -> None:
     """Store gel-frame heightmaps losslessly as 16-bit PNG in 0.1-px units."""
     from PIL import Image
 
-    arr = np.clip(np.asarray(hm) * 10.0, 0, 65535).astype(np.uint16)
+    arr = np.clip(np.round(np.asarray(hm) * 10.0), 0, 65535).astype(np.uint16)
     Image.fromarray(arr).save(path)
 
 
