@@ -1,0 +1,61 @@
+"""Trainer tests: TDN MSE step learns, TCN triplet loss semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from midastouch_tpu.models.fcrn import FCRN
+from midastouch_tpu.train.train_tcn import batch_hard_triplet_loss, pose_masks
+from midastouch_tpu.train.train_tdn import make_train_step
+
+
+def test_tdn_train_step_reduces_loss():
+    model = FCRN(layers=(1, 1, 1, 1), out_size=(64, 48))
+    tx = optax.adam(1e-3)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 64, 48, 3))
+    y = jnp.ones((4, 64, 48)) * 20.0
+    variables = model.init(jax.random.PRNGKey(1), x, train=False)
+    params, stats = variables["params"], variables["batch_stats"]
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx)
+    losses = []
+    for i in range(8):
+        params, stats, opt_state, loss = step(
+            params, stats, opt_state, x, y, jax.random.PRNGKey(i)
+        )
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+
+
+def test_pose_masks():
+    pos = np.array([[0, 0, 0], [0.001, 0, 0], [0.1, 0, 0]], dtype=np.float32)
+    p, n = pose_masks(pos, pos_dist=0.002, neg_dist=0.01)
+    assert p[0, 1] and p[1, 0] and not p[0, 0]  # self excluded
+    assert not p[0, 2]
+    assert n[0, 2] and n[2, 0] and not n[0, 1]
+
+
+def test_batch_hard_triplet_loss():
+    # two tight clusters in embedding space matching the pose clusters
+    emb = jnp.array([[1.0, 0], [1.0, 0.01], [-1.0, 0], [-1.0, 0.01]])
+    emb = emb / jnp.linalg.norm(emb, axis=1, keepdims=True)
+    pos = jnp.array([[0, 1], [1, 0], [0, 0], [0, 0]], dtype=bool)
+    pos = jnp.zeros((4, 4), bool).at[0, 1].set(True).at[1, 0].set(True).at[
+        2, 3
+    ].set(True).at[3, 2].set(True)
+    neg = ~pos & ~jnp.eye(4, dtype=bool)
+    loss_good = float(batch_hard_triplet_loss(emb, pos, neg, margin=0.2))
+    # embeddings anti-aligned with pose structure -> high loss
+    emb_bad = emb[jnp.array([0, 2, 1, 3])]
+    loss_bad = float(batch_hard_triplet_loss(emb_bad, pos, neg, margin=0.2))
+    assert loss_good < 1e-4  # positives together, negatives far: zero loss
+    assert loss_bad > loss_good + 0.1
+
+
+def test_triplet_loss_no_valid_pairs():
+    emb = jnp.eye(3)
+    empty = jnp.zeros((3, 3), bool)
+    loss = float(batch_hard_triplet_loss(emb, empty, empty, margin=0.2))
+    assert loss == 0.0
