@@ -50,6 +50,7 @@ class FilterStep:
         floor: int = 1000,
         small_parts: bool = False,
         softmax: bool = True,
+        ann_index=None,
     ):
         self.pf = pf
         self.codebook = codebook
@@ -57,6 +58,8 @@ class FilterStep:
         self.tcn = tcn
         self.floor = floor
         self.small_parts = small_parts
+        # optional bucketed ANN index for the codebook NN (ops/ann.py)
+        self.ann_index = ann_index
         # sim path softmaxes similarity weights (filter.py:172); the real
         # path uses raw cosine scores (filter_real.py:209)
         self.softmax = softmax
@@ -120,7 +123,8 @@ class FilterStep:
 
         # measurement: codebook NN + cosine weighting
         nn_q, nn_t, _, _, nn_codes, _ = codebook.se3_nn(
-            state.q, state.t, backend=pf.params.backend
+            state.q, state.t, backend=pf.params.backend,
+            ann_index=self.ann_index,
         )
         w = pf.get_similarity(code, nn_codes, state.alive, softmax=self.softmax)
         w = jnp.where(do_measurement, w, state.alive_f)

@@ -1,0 +1,59 @@
+"""Bucketed ANN: recall and distance-regret gates vs exact brute force."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from midastouch_tpu.ops import knn
+from midastouch_tpu.ops.ann import build_bucket_index, nn_search_bucketed
+
+
+def _codebook_keys(rng, m=8000):
+    """Realistic key distribution: positions on a sphere surface (0.99x)
+    plus small rotation-log components (0.01x)."""
+    p = rng.normal(size=(m, 3))
+    p = p / np.linalg.norm(p, axis=1, keepdims=True) * 0.04 * 0.99
+    r = rng.normal(size=(m, 3)) * 0.01 * 2.0
+    return np.concatenate([p, r], axis=1).astype(np.float32)
+
+
+def test_index_covers_all_entries(rng):
+    keys = _codebook_keys(rng, 2000)
+    idx = build_bucket_index(keys, num_cells=64)
+    members = np.asarray(idx.members)
+    present = np.unique(members[members < 2000])
+    assert len(present) == 2000  # nothing dropped
+
+
+def test_recall_and_regret(rng):
+    keys = _codebook_keys(rng, 8000)
+    queries = _codebook_keys(rng, 4000) + rng.normal(
+        size=(4000, 6)
+    ).astype(np.float32) * 1e-3
+    index = build_bucket_index(keys, num_cells=128)
+
+    approx = np.asarray(
+        nn_search_bucketed(jnp.asarray(queries), index, top_cells=8, chunk=1024)
+    )
+    _, exact = knn.nn_search(jnp.asarray(queries), jnp.asarray(keys), backend="xla")
+    exact = np.asarray(exact)
+
+    recall = np.mean(approx == exact)
+    assert recall > 0.99, f"recall {recall}"
+
+    # where it misses, the returned neighbour must be nearly as close
+    d_approx = np.linalg.norm(keys[approx] - queries, axis=1)
+    d_exact = np.linalg.norm(keys[exact] - queries, axis=1)
+    regret = d_approx - d_exact
+    assert np.quantile(regret, 0.999) < 1e-3, f"regret q999 {np.quantile(regret, 0.999)}"
+
+
+def test_exact_self_queries(rng):
+    keys = _codebook_keys(rng, 3000)
+    index = build_bucket_index(keys, num_cells=64)
+    approx = np.asarray(
+        nn_search_bucketed(jnp.asarray(keys[:500]), index, top_cells=2, chunk=512)
+    )
+    # querying stored keys: distance must be exactly 0 even if a duplicate
+    # id is returned
+    d = np.linalg.norm(keys[approx] - keys[:500], axis=1)
+    assert d.max() < 1e-6
