@@ -65,8 +65,12 @@ def run_filter(cfg, viz=None, seed: int = 0, realtime: bool = True) -> dict:
     tdn, tcn = common.make_nets(cfg, bg=renderer.get_background("gel"))
     pf = ParticleFilter.from_config(cfg, mesh)
     codebook = Codebook.load(common.codebook_path(obj_model))
+    ann_index = (
+        codebook.build_ann_index() if bool(cfg.tpu.get("codebook_ann")) else None
+    )
     step = FilterStep(
-        pf, codebook, tdn=tdn, tcn=tcn, floor=1000, small_parts=small
+        pf, codebook, tdn=tdn, tcn=tcn, floor=1000, small_parts=small,
+        ann_index=ann_index,
     )
 
     key = jax.random.PRNGKey(seed)
