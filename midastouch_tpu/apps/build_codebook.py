@@ -57,11 +57,9 @@ def build_codebook(
         gelposes[sl], camposes[sl] = gels, cams
 
         if not use_gt_heightmaps:
-            est_h = np.asarray(tdn.images2heightmaps(rgbs * 255.0))
-            est_m = np.stack(
-                [np.asarray(tdn.heightmap2mask(h)) for h in est_h]
-            )
-            hms, masks = est_h, est_m
+            est_h = tdn.images2heightmaps(rgbs * 255.0)
+            est_m = tdn.heightmaps2masks(est_h)
+            hms, masks = np.asarray(est_h), np.asarray(est_m)
         key = jax.random.fold_in(jax.random.PRNGKey(seed), i)
         embeddings[sl] = np.asarray(
             tcn.cloud_to_tactile_code(hms, masks, key=key)

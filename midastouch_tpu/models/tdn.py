@@ -103,3 +103,19 @@ class TDN:
         return image_ops.heightmap_to_mask(
             heightmap, self.bg, self.b, self.r, self.clip, small_parts
         )
+
+    def heightmaps2masks(
+        self, heightmaps: jax.Array, small_parts: bool = False
+    ) -> jax.Array:
+        """Batched mask thresholding (one jit dispatch per batch)."""
+        if not hasattr(self, "_masks_fn"):
+            self._masks_fn = jax.jit(
+                jax.vmap(
+                    lambda h, sp: image_ops.heightmap_to_mask(
+                        h, self.bg, self.b, self.r, self.clip, sp
+                    ),
+                    in_axes=(0, None),
+                ),
+                static_argnums=1,
+            )
+        return self._masks_fn(jnp.asarray(heightmaps), small_parts)
