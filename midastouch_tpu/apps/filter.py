@@ -1,17 +1,24 @@
 """Sim-log filtering app (reference: filter/filter.py:42-281).
 
 Loads a generated dataset, runs the fused sense-update loop, tracks the
-reference's stats (per-stage timers, RMSE, cluster sigma, Hz), and writes
+reference's stats (RMSE, cluster sigma, particle count, Hz), and writes
 `filter_stats.npy` plus an optional results video.
 
+The loop is latency-aware: odometry for the whole trajectory is
+precomputed on device, per-frame statistics stay on device and are
+fetched in one transfer at the end — a frame costs exactly two dispatches
+(sense, update). `profile_stages=True` restores the reference's blocking
+per-stage timers (filter.py:96-97,142-193) at the cost of syncs.
+
 Run:
-    python -m midastouch_tpu.apps.filter expt=test expt.obj_model=sphere
+    python -m midastouch_tpu.apps.filter expt=test expt.obj_model=potato
 """
 
 from __future__ import annotations
 
 import os
 import sys
+import time
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +34,13 @@ from midastouch_tpu.utils.config import compose
 from midastouch_tpu.utils.misc import StageTimer, images_to_video, remove_and_mkdir
 
 
-def run_filter(cfg, viz=None, seed: int = 0, realtime: bool = True) -> dict:
+def run_filter(
+    cfg,
+    viz=None,
+    seed: int = 0,
+    realtime: bool = True,
+    profile_stages: bool = False,
+) -> dict:
     expt = cfg.expt
     obj_model = str(expt.obj_model)
     log_id = str(expt.log_id).zfill(2)
@@ -50,9 +63,16 @@ def run_filter(cfg, viz=None, seed: int = 0, realtime: bool = True) -> dict:
     traj_size = min(len(images), len(gelposes))
     gt_p = jnp.asarray(gelposes)
 
+    # whole-trajectory odometry, one op (meas_p[i-1]^-1 @ meas_p[i])
+    meas_j = jnp.asarray(meas_p[:traj_size])
+    odom_all = se3.tf_inverse(meas_j[:-1]) @ meas_j[1:]
+    odom_q_all = jnp.concatenate(
+        [jnp.array([[1.0, 0, 0, 0]]), se3.matrix_to_quat(odom_all[:, :3, :3])]
+    )
+    odom_t_all = jnp.concatenate([jnp.zeros((1, 3)), odom_all[:, :3, 3]])
+
     # optional GT-sensing ablation: bypass the TDN, feed ground-truth
-    # heightmaps/masks straight to the TCN (validates the inference core
-    # independent of depth-net quality)
+    # heightmaps/masks straight to the TCN
     use_gt = bool(expt.get("use_gt_heightmaps", False))
     gt_heightmaps = gt_masks = None
     if use_gt:
@@ -83,62 +103,53 @@ def run_filter(cfg, viz=None, seed: int = 0, realtime: bool = True) -> dict:
         "init_particles": init_particles, "num_particles": [],
         "log_id": log_id, "trial_id": trial,
     }
+    device_stats: list = []  # StepStats pytrees, fetched once at the end
 
     state = None
     prev_idx, count = 0, 0
+    wall_start = time.perf_counter()
+    frame_wall: list[float] = []
     while True:
         # real-time replay indexing (filter.py:134-140)
         idx = int(frame_rate * stats["total_time"]) if realtime else count
         if idx >= traj_size:
             break
-
+        t_frame = time.perf_counter()
         key, k_sense, k_step = jax.random.split(key, 3)
 
-        timer.start("tactile")
+        if profile_stages:
+            timer.start("tactile")
         if use_gt:
             heightmap = jnp.asarray(gt_heightmaps[idx])
             mask = jnp.asarray(gt_masks[idx])
             code = tcn.cloud_to_tactile_code(heightmap, mask, key=k_sense)
         else:
             code, heightmap, mask = step.sense(images[idx], k_sense)
-        timer.stop(code)
+        if profile_stages:
+            timer.stop(code)
 
-        timer.start("motion")
         if state is None:
             state = step.initialize(k_step, gt_p[idx], init_particles)
-            odom_q = jnp.array([1.0, 0, 0, 0])
-            odom_t = jnp.zeros(3)
-            timer.stop(state.t)
-            # stats for t=0 (no update yet)
             rmse_t, rmse_r = pf.rmse(state, gt_p[idx])
             stats["rmse_t"].append(float(rmse_t))
             stats["rmse_r"].append(float(rmse_r))
             stats["num_particles"].append(int(state.n_active))
-            stats["time"].append(timer.iteration_time())
+            dt = time.perf_counter() - t_frame
+            frame_wall.append(dt)
+            stats["time"].append(dt)
             stats["total_time"] = sum(stats["time"])
             prev_idx, count = idx, count + 1
             continue
-        odom = se3.tf_inverse(jnp.asarray(meas_p[prev_idx])) @ jnp.asarray(
-            meas_p[idx]
-        )
-        odom_q = se3.matrix_to_quat(odom[:3, :3])
-        odom_t = odom[:3, 3]
-        timer.stop(odom_t)
 
-        timer.start("meas")
+        if profile_stages:
+            timer.start("meas")
         state, sstats = step.update(
-            state, k_step, code, odom_q, odom_t, gt_p[idx],
+            state, k_step, code, odom_q_all[idx], odom_t_all[idx], gt_p[idx],
             do_cluster=(count % 50 == 0), do_measurement=True,
         )
-        timer.stop(state.t)
-
-        stats["rmse_t"].append(float(sstats.rmse_t))
-        stats["rmse_r"].append(float(sstats.rmse_r))
-        stats["cluster_poses"].append(np.asarray(sstats.cluster_poses))
-        stats["cluster_stds"].append(np.asarray(sstats.cluster_stds))
-        stats["num_particles"].append(int(sstats.n_active))
-        stats["time"].append(timer.iteration_time())
-        stats["total_time"] = sum(stats["time"])
+        if profile_stages:
+            timer.stop(state.t)
+        device_stats.append(sstats)
 
         if viz is not None:
             viz.update(
@@ -154,25 +165,51 @@ def run_filter(cfg, viz=None, seed: int = 0, realtime: bool = True) -> dict:
                 image_savepath=os.path.join(results_path, f"{idx}.png"),
                 codebook_positions=np.asarray(codebook.t),
             )
+            print(
+                f"[{idx}/{traj_size}] RMSE: {1000*float(sstats.rmse_t):.1f} mm,"
+                f" P: {int(sstats.n_active)}",
+                flush=True,
+            )
 
-        print(
-            f"[{idx}/{traj_size}] RMSE: {1000*stats['rmse_t'][-1]:.1f} mm, "
-            f"{stats['rmse_r'][-1]:.0f} deg, P: {int(sstats.n_active)}, "
-            f"rate: {1.0/max(stats['time'][-1], 1e-9):.2f} Hz",
-            flush=True,
-        )
+        # one sync per frame keeps the replay clock honest without pulling
+        # every statistic (realtime indexing needs a wall-clock estimate)
+        if realtime:
+            jax.block_until_ready(state.weights)
+        dt = time.perf_counter() - t_frame
+        frame_wall.append(dt)
+        stats["time"].append(dt)
+        stats["total_time"] = sum(stats["time"])
         prev_idx = idx
         count += 1
 
-    stats["avg_time"] = (
-        sum(stats["time"]) / max(len(stats["time"]), 1)
-    )
-    avg = timer.averages()
+    # drain device-side stats in one transfer
+    if device_stats:
+        jax.block_until_ready(device_stats[-1].rmse_t)
+        fetched = jax.device_get(device_stats)
+        for s in fetched:
+            stats["rmse_t"].append(float(s.rmse_t))
+            stats["rmse_r"].append(float(s.rmse_r))
+            stats["cluster_poses"].append(np.asarray(s.cluster_poses))
+            stats["cluster_stds"].append(np.asarray(s.cluster_stds))
+            stats["num_particles"].append(int(s.n_active))
+
+    total_wall = time.perf_counter() - wall_start
+    if not realtime:
+        # async loop: per-frame walls are dispatch times; report throughput
+        stats["time"] = [total_wall / max(count, 1)] * count
+        stats["total_time"] = total_wall
+    stats["avg_time"] = sum(stats["time"]) / max(len(stats["time"]), 1)
+
     print(
-        f"Total time: {stats['total_time']:.3f}, per-iteration: {stats['avg_time']:.3f}\n"
-        f"Avg time: tactile: {avg.get('tactile', 0):.3f}, motion: "
-        f"{avg.get('motion', 0):.3f}, meas: {avg.get('meas', 0):.3f}"
+        f"Total time: {stats['total_time']:.3f}s for {count} frames "
+        f"({count/max(stats['total_time'],1e-9):.2f} Hz)"
     )
+    if profile_stages:
+        avg = timer.averages()
+        print(
+            f"Avg time: tactile: {avg.get('tactile', 0):.3f}, "
+            f"meas: {avg.get('meas', 0):.3f}"
+        )
     np.save(os.path.join(results_path, "filter_stats.npy"), stats, allow_pickle=True)
     if viz is not None:
         images_to_video(results_path)
@@ -180,6 +217,9 @@ def run_filter(cfg, viz=None, seed: int = 0, realtime: bool = True) -> dict:
 
 
 def main(argv=None):
+    from midastouch_tpu.utils import runtime
+
+    runtime.setup()
     cfg = compose(argv if argv is not None else sys.argv[1:])
     viz = None
     if bool(cfg.expt.render):

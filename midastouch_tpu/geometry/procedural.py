@@ -105,10 +105,39 @@ def cylinder(radius: float = 0.033, height: float = 0.1, segments: int = 48) -> 
     return Mesh(v, np.asarray(faces, dtype=np.int32))
 
 
+def potato(
+    radius: float = 0.04,
+    subdivisions: int = 4,
+    num_bumps: int = 24,
+    bump_height: float = 0.25,
+    bump_width: float = 0.55,
+    seed: int = 7,
+) -> Mesh:
+    """Irregular blob: icosphere with deterministic gaussian radial bumps.
+
+    A plain sphere is locally identical everywhere, so tactile codes carry
+    no global information on it (single-touch retrieval is provably at
+    chance). This object has unique local curvature everywhere — the
+    procedural stand-in for YCB-like objects in learned-pipeline tests.
+    """
+    base = icosphere(radius=1.0, subdivisions=subdivisions)
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(num_bumps, 3))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    amps = rng.uniform(-bump_height, bump_height, size=num_bumps)
+    widths = rng.uniform(0.5, 1.0, size=num_bumps) * bump_width
+
+    dirs = base.vertices / np.linalg.norm(base.vertices, axis=1, keepdims=True)
+    ang = np.arccos(np.clip(dirs @ centers.T, -1.0, 1.0))  # (V, B)
+    r = 1.0 + (amps[None, :] * np.exp(-((ang / widths[None, :]) ** 2))).sum(1)
+    return Mesh((dirs * (r[:, None] * radius)).astype(np.float32), base.faces)
+
+
 TEST_OBJECTS = {
-    "sphere": lambda: icosphere(),
-    "box": lambda: box(),
+    "sphere": lambda: icosphere(subdivisions=4),
+    "box": lambda: box(divisions=12),
     "cylinder": lambda: cylinder(),
+    "potato": lambda: potato(),
 }
 
 
