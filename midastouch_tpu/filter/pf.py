@@ -192,33 +192,42 @@ class ParticleFilter:
     ) -> tuple[jax.Array, jax.Array, jax.Array]:
         """Weighted SE(3) mean + translation std per cluster (reference
         :153-206, method='quat_avg'). Returns (poses (K,4,4), stds (K,3),
-        valid (K,))."""
+        valid (K,)).
+
+        All per-cluster reductions are fused into (N,K)-one-hot matmuls
+        that ride the MXU, instead of K masked passes over the population.
+        """
         K = self.params.max_clusters
+        member = (
+            (state.labels[:, None] == jnp.arange(K, dtype=jnp.int32)[None, :])
+            & state.alive[:, None]
+        )
+        m = member.astype(jnp.float32)  # (N, K)
+        counts = jnp.sum(m, axis=0)
 
-        def per_cluster(k):
-            member = (state.labels == k) & state.alive
-            m = member.astype(state.weights.dtype)
-            w = state.weights * m
-            count = jnp.sum(m)
-            # equal-weight fallback when weights are uniform/degenerate
-            wmax = jnp.max(jnp.where(member, w, -jnp.inf))
-            wmin = jnp.min(jnp.where(member, w, jnp.inf))
-            degenerate = ~jnp.isfinite(wmax) | (jnp.abs(wmax - wmin) < 1e-12)
-            w = jnp.where(degenerate, m, w)
+        w0 = jnp.maximum(state.weights, 0.0)
+        # equal-weight fallback when a cluster's weights are degenerate
+        wmax = jnp.max(jnp.where(member, w0[:, None], -jnp.inf), axis=0)
+        wmin = jnp.min(jnp.where(member, w0[:, None], jnp.inf), axis=0)
+        degenerate = ~jnp.isfinite(wmax) | (jnp.abs(wmax - wmin) < 1e-12)
+        W = jnp.where(degenerate[None, :], m, w0[:, None] * m)  # (N, K)
 
-            w = jnp.maximum(w, 0.0)  # guard: no negative mass in averages
-            qa = se3.quat_weighted_average(state.q, w)
-            wsum = jnp.maximum(jnp.sum(w), 1e-12)
-            ta = jnp.sum(state.t * w[:, None], axis=0) / wsum
-            var = jnp.sum((state.t - ta) ** 2 * w[:, None], axis=0) / wsum
-            return (
-                se3.make_tf(se3.quat_to_matrix(qa), ta),
-                jnp.sqrt(jnp.maximum(var, 0.0)),
-                count > 0,
-            )
+        wsum = jnp.maximum(jnp.sum(W, axis=0), 1e-12)  # (K,)
+        ta = (W.T @ state.t) / wsum[:, None]  # (K, 3)
+        t2 = (W.T @ (state.t * state.t)) / wsum[:, None]
+        var = jnp.maximum(t2 - ta * ta, 0.0)
 
-        poses, stds, valid = jax.vmap(per_cluster)(jnp.arange(K))
-        return poses, stds, valid
+        # Markley mean per cluster: eigh of the weighted outer-product sum
+        q = jnp.where(state.q[:, :1] < 0, -state.q, state.q)
+        qq = (q[:, :, None] * q[:, None, :]).reshape(-1, 16)  # (N, 16)
+        A = (W.T @ qq).reshape(K, 4, 4) / wsum[:, None, None]
+        _, vecs = jnp.linalg.eigh(A)
+        qa = vecs[:, :, -1]
+        qa = jnp.where(qa[:, :1] < 0, -qa, qa)
+        qa = se3.quat_normalize(qa)
+
+        poses = se3.make_tf(se3.quat_to_matrix(qa), ta)
+        return poses, jnp.sqrt(var), counts > 0
 
     @staticmethod
     def mean_cluster_std(stds: jax.Array, valid: jax.Array) -> jax.Array:

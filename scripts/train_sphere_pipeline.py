@@ -43,6 +43,7 @@ BASE = [
     f"expt.codebook_size={CODEBOOK}",
     f"expt.params.num_particles={PARTICLES}",
     "expt.render=false",
+    "tpu.render_max_faces=512",  # potato is smooth; halves raycast cost
 ]
 
 
