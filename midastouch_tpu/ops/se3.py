@@ -427,6 +427,14 @@ def pose_from_vertex_normal(
     return make_tf(_mm(rot_delta, rot), vertices)
 
 
+def transform_points(T: jax.Array, points: jax.Array) -> jax.Array:
+    """Rigid-transform points (reference transform_pc, pose.py:150-175).
+    T: (4,4) or (...,4,4); points: (...,N,3)."""
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    return points @ jnp.swapaxes(R, -1, -2) + t[..., None, :]
+
+
 # ---------------------------------------------------------------------------
 # metrics
 # ---------------------------------------------------------------------------

@@ -286,6 +286,24 @@ class DigitRenderer:
         self._key, k = jax.random.split(self._key)
         return k
 
+    def update_pose_given_point(
+        self, point: np.ndarray, shear_mag_deg: float = 0.0, seed: int = 0
+    ) -> np.ndarray:
+        """Gel pose at the mesh vertex nearest `point` (reference
+        update_pose_given_point, digit_renderer.py:90-105)."""
+        v = self.mesh.vertices
+        idx = int(np.argmin(np.linalg.norm(v - np.asarray(point), axis=1)))
+        key = jax.random.PRNGKey(seed)
+        delta = jax.random.uniform(key, (1,), maxval=2 * np.pi)
+        T = se3.pose_from_vertex_normal(
+            jnp.asarray(v[idx][None]),
+            jnp.asarray(self.mesh.vertex_normals[idx][None]),
+            float(np.radians(shear_mag_deg)),
+            delta,
+            key,
+        )
+        return np.asarray(T[0])
+
     # -- frame algebra (digit_renderer.py:124-146) --------------------------
 
     def gel2cam(self, gel_pose: jax.Array) -> jax.Array:
