@@ -86,3 +86,30 @@ def load_masks(path: str, max_length=None) -> np.ndarray:
     return np.stack(
         [misc.load_image(os.path.join(d, n)) > 127 for n in names]
     )
+
+
+def make_split(
+    path: str, ratios=(0.8, 0.1, 0.1), seed: int = 0
+) -> dict[str, np.ndarray]:
+    """80/10/10 train/val/test index split over a dataset directory
+    (reference contrib/tdn_fcrn/data/data_to_txt.py manifests)."""
+    n = len(load_poses(path)[0])
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    n_train = int(n * ratios[0])
+    n_val = int(n * ratios[1])
+    split = {
+        "train": np.sort(perm[:n_train]),
+        "val": np.sort(perm[n_train : n_train + n_val]),
+        "test": np.sort(perm[n_train + n_val :]),
+    }
+    np.savez(os.path.join(path, "split.npz"), **split)
+    return split
+
+
+def load_split(path: str) -> dict[str, np.ndarray] | None:
+    p = os.path.join(path, "split.npz")
+    if not os.path.exists(p):
+        return None
+    d = np.load(p)
+    return {k: d[k] for k in d.files}
