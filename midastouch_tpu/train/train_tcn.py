@@ -168,7 +168,8 @@ def train(
                 params, batch_stats, opt_state,
                 jnp.asarray(clouds[b]), jnp.asarray(pos_mask), jnp.asarray(neg_mask),
             )
-            losses.append(float(loss))
+            losses.append(loss)  # device scalar; fetched once per epoch
+        losses = [float(x) for x in jax.device_get(losses)]
         history.append({"epoch": epoch, "loss": float(np.mean(losses))})
         if epoch % log_every == 0 or epoch == epochs - 1:
             print(f"epoch {epoch}: triplet loss {np.mean(losses):.4f}")

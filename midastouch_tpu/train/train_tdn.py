@@ -126,7 +126,8 @@ def train(
                 params, batch_stats, opt_state,
                 jnp.asarray(images[bidx]), jnp.asarray(targets[bidx]), kd,
             )
-            losses.append(float(loss))
+            losses.append(loss)  # device scalar; fetched once per epoch
+        losses = [float(x) for x in jax.device_get(losses)]
 
         # val RMSE in mm (x pixmm, reference test RMSE convention train.py:288)
         vb = images[val_idx]
