@@ -37,11 +37,25 @@ class TCN:
         self.batch_size = int(m.batch_size)
         self.output_dim = int(m.output_dim)
         self.normalize_embeddings = True
+        # Cloud scaling before voxelization:
+        #  * "sensor_frame" (default): fixed affine — x/y over the gel FOV,
+        #    z stretched over the [0, 2*pen_max] penetration window. With a
+        #    64^3 grid this gives ~0.06 mm depth cells. The reference's
+        #    global min-max scale (tcn.py:111-116) worked only because
+        #    MinkowskiEngine quantized the [-1,1] cube at 1e-3 (an
+        #    effective 2000^3 grid); on a dense grid it collapses the
+        #    +-1 mm depth signal into ~2 voxels.
+        #  * "global": the reference behavior, for parity experiments.
+        self.scale_mode = str(m.get("scale_mode", "sensor_frame"))
+        self.pen_max = float(render_cfg.pen.max)
 
         self.pixmm = float(render_cfg.pixmm)
         self.cam_dist = float(render_cfg.cam_dist)
         h = int(render_cfg.height)
+        w = int(render_cfg.width)
         self.focal_px = 0.5 * h / np.tan(0.5 * np.radians(float(render_cfg.get("yfov_deg", 60.0))))
+        self.half_fov_x = (w / 2.0) / self.focal_px * self.cam_dist
+        self.half_fov_y = (h / 2.0) / self.focal_px * self.cam_dist
 
         self.model = VoxelFPN(
             planes=tuple(m.planes),
@@ -80,7 +94,13 @@ class TCN:
                 hm, mask, self.pixmm, self.cam_dist, self.focal_px
             )
             cloud = image_ops.sample_cloud(k, pts, valid, self.num_points)
-            return image_ops.scale_to_unit(cloud)
+            if self.scale_mode == "global":
+                return image_ops.scale_to_unit(cloud)
+            # sensor-frame fixed affine (see __init__)
+            x = cloud[:, 0] / self.half_fov_x
+            y = cloud[:, 1] / self.half_fov_y
+            z = (cloud[:, 2] + self.cam_dist) / self.pen_max - 1.0
+            return jnp.clip(jnp.stack([x, y, z], axis=-1), -1.0, 1.0)
 
         keys = jax.random.split(key, heightmaps.shape[0])
         return jax.vmap(one)(keys, heightmaps, masks)

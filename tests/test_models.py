@@ -130,3 +130,42 @@ def test_tdn_tcn_drivers_end_to_end():
     assert codes.shape == (2, 32)
     # identical inputs, identical codes
     np.testing.assert_allclose(np.asarray(codes[0]), np.asarray(codes[1]), atol=1e-5)
+
+
+def test_tcn_sensor_frame_scaling_preserves_depth_signal():
+    """Two touches differing by a 0.5 mm bump must voxelize differently
+    under sensor-frame scaling (the global min-max scale collapses this)."""
+    import jax
+    from midastouch_tpu.models.tcn import TCN
+    from midastouch_tpu.models.voxfpn import voxelize
+    from midastouch_tpu.utils.config import compose
+
+    cfg = compose(
+        ["tdn.render.width=60", "tdn.render.height=80",
+         "tcn.model.grid_size=32", "tcn.model.num_points=512",
+         "tcn.model.planes=[8,16,16]", "tcn.model.feature_size=32",
+         "tcn.model.output_dim=32"]
+    )
+    tcn = TCN(cfg.tcn, cfg.tdn.render, params_path="/nonexistent")
+    assert tcn.scale_mode == "sensor_frame"
+
+    def touch(depth_px):
+        hm = jnp.zeros((80, 60)).at[30:50, 20:40].set(depth_px)
+        # a small extra bump in one corner of the contact
+        hm = hm.at[32:36, 22:26].add(0.5 / 0.03)  # +0.5 mm
+        mask = jnp.zeros((80, 60), bool).at[30:50, 20:40].set(True)
+        return hm, mask
+
+    hm_a, mask = touch(30.0)
+    hm_b = jnp.zeros((80, 60)).at[30:50, 20:40].set(30.0)  # no bump
+    key = jax.random.PRNGKey(0)
+    ca = tcn.heightmaps_to_clouds(key, hm_a[None], mask[None])
+    cb = tcn.heightmaps_to_clouds(key, hm_b[None], mask[None])
+    diff = float(jnp.abs(voxelize(ca, 32) - voxelize(cb, 32)).sum())
+    assert diff > 2, f"depth bump invisible in voxel grid (diff={diff})"
+    # clouds bounded in the unit cube
+    assert float(jnp.max(jnp.abs(ca))) <= 1.0 + 1e-6
+    # the depth signal must occupy a meaningful share of the z-range
+    # (the global min-max scale collapses it to ~the gel-plane cell)
+    z = np.asarray(ca[0][:, 2])
+    assert z.max() - z.min() > 0.3
