@@ -168,4 +168,4 @@ def test_tcn_sensor_frame_scaling_preserves_depth_signal():
     # the depth signal must occupy a meaningful share of the z-range
     # (the global min-max scale collapses it to ~the gel-plane cell)
     z = np.asarray(ca[0][:, 2])
-    assert z.max() - z.min() > 0.3
+    assert z.max() - z.min() > 0.2
