@@ -77,8 +77,8 @@ class FilterStep:
             hm, self.tdn.bg, self.tdn.b, self.tdn.r, self.tdn.clip,
             self.small_parts,
         )
-        clouds = self.tcn.heightmaps_to_clouds(key, hm[None], mask[None])
-        code = self.tcn._embed_impl(tcn_vars, clouds)[0]
+        inputs = self.tcn.model_inputs(key, hm[None], mask[None])
+        code = self.tcn._embed_impl(tcn_vars, inputs)[0]
         return code, hm, mask
 
     def sense(self, image, key):

@@ -1,10 +1,25 @@
 """TCN driver: heightmap + contact mask -> 256-d tactile code.
 
-Mirrors `midastouch/contrib/tcn_minkloc/tcn.py:18-148` around the Flax
-VoxelFPN: unproject to a camera-frame cloud, resample to a fixed point
-count, scale to [-1,1], voxelize, embed, L2-normalize. The whole pipeline
-is one jitted batched function — the reference crosses GPU->CPU for
-MinkowskiEngine quantization on every call (tcn.py:124-131).
+Mirrors `midastouch/contrib/tcn_minkloc/tcn.py:18-148` around two
+selectable Flax backbones (tcn.model.model):
+
+  * "VoxelFPN" (default; reference architecture parity): unproject to a
+    camera-frame cloud, resample to a fixed point count, scale, voxelize,
+    3-D FPN + GeM. The whole pipeline is one jitted batched function —
+    the reference crosses GPU->CPU for MinkowskiEngine quantization on
+    every call (tcn.py:124-131).
+  * "HeightmapFPN" (TPU-first alternative): 2-D FPN straight over the
+    (penetration, mask) image — identical information (the cloud is a
+    deterministic unprojection), better MXU mapping.
+
+Cloud scaling before voxelization (scale_mode):
+  * "sensor_frame" (default): fixed affine — x/y over the gel FOV, z
+    stretched over the [0, 2*pen_max] penetration window (~0.06 mm depth
+    cells at 64^3). The reference's global min-max scale (tcn.py:111-116)
+    worked only because MinkowskiEngine quantized the [-1,1] cube at 1e-3
+    (an effective 2000^3 grid); on a dense grid it collapses the +-1 mm
+    depth signal into ~2 voxels.
+  * "global": the reference behavior, for parity experiments.
 """
 
 from __future__ import annotations
@@ -16,6 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from midastouch_tpu.models.heightmap_fpn import HeightmapFPN
 from midastouch_tpu.models.params_io import load_variables, save_variables
 from midastouch_tpu.models.voxfpn import VoxelFPN, voxelize
 from midastouch_tpu.ops import image as image_ops
@@ -32,20 +48,14 @@ class TCN:
         compute_dtype=jnp.float32,
     ):
         m = cfg.model
+        self.arch = str(m.get("model", "VoxelFPN"))
+        if self.arch == "MinkFPN":  # reference config name
+            self.arch = "VoxelFPN"
         self.num_points = int(m.num_points)
         self.grid_size = int(m.get("grid_size", 64))
         self.batch_size = int(m.batch_size)
         self.output_dim = int(m.output_dim)
         self.normalize_embeddings = True
-        # Cloud scaling before voxelization:
-        #  * "sensor_frame" (default): fixed affine — x/y over the gel FOV,
-        #    z stretched over the [0, 2*pen_max] penetration window. With a
-        #    64^3 grid this gives ~0.06 mm depth cells. The reference's
-        #    global min-max scale (tcn.py:111-116) worked only because
-        #    MinkowskiEngine quantized the [-1,1] cube at 1e-3 (an
-        #    effective 2000^3 grid); on a dense grid it collapses the
-        #    +-1 mm depth signal into ~2 voxels.
-        #  * "global": the reference behavior, for parity experiments.
         self.scale_mode = str(m.get("scale_mode", "sensor_frame"))
         self.pen_max = float(render_cfg.pen.max)
 
@@ -53,11 +63,14 @@ class TCN:
         self.cam_dist = float(render_cfg.cam_dist)
         h = int(render_cfg.height)
         w = int(render_cfg.width)
-        self.focal_px = 0.5 * h / np.tan(0.5 * np.radians(float(render_cfg.get("yfov_deg", 60.0))))
+        self.height, self.width = h, w
+        self.focal_px = 0.5 * h / np.tan(
+            0.5 * np.radians(float(render_cfg.get("yfov_deg", 60.0)))
+        )
         self.half_fov_x = (w / 2.0) / self.focal_px * self.cam_dist
         self.half_fov_y = (h / 2.0) / self.focal_px * self.cam_dist
 
-        self.model = VoxelFPN(
+        kwargs = dict(
             planes=tuple(m.planes),
             layers=tuple(m.layers),
             num_top_down=int(m.num_top_down),
@@ -65,16 +78,21 @@ class TCN:
             feature_size=int(m.feature_size),
             dtype=compute_dtype,
         )
+        if self.arch == "HeightmapFPN":
+            self.model = HeightmapFPN(**kwargs)
+            dummy = jnp.zeros((1, h, w, 2))
+        else:
+            self.model = VoxelFPN(**kwargs)
+            g = self.grid_size
+            dummy = jnp.zeros((1, g, g, g, 1))
 
         if params_path is None:
             params_path = os.path.join(DIRS["weights"], str(m.tcn_weights))
         if os.path.exists(params_path):
             self.variables = load_variables(params_path)
         else:
-            key = jax.random.PRNGKey(seed)
-            g = self.grid_size
             self.variables = self.model.init(
-                key, jnp.zeros((1, g, g, g, 1)), train=False
+                jax.random.PRNGKey(seed), dummy, train=False
             )
 
         self._embed = jax.jit(self._embed_impl)
@@ -82,11 +100,11 @@ class TCN:
     def save(self, path: str) -> None:
         save_variables(path, self.variables)
 
-    # -- pipeline ----------------------------------------------------------------
+    # -- input pipelines -----------------------------------------------------
 
     @functools.partial(jax.jit, static_argnums=0)
     def heightmaps_to_clouds(self, key, heightmaps, masks):
-        """(B, H, W) heightmaps/masks -> (B, P, 3) unit-scaled clouds
+        """(B, H, W) heightmaps/masks -> (B, P, 3) scaled clouds
         (tcn.py:78-116)."""
 
         def one(k, hm, mask):
@@ -96,7 +114,7 @@ class TCN:
             cloud = image_ops.sample_cloud(k, pts, valid, self.num_points)
             if self.scale_mode == "global":
                 return image_ops.scale_to_unit(cloud)
-            # sensor-frame fixed affine (see __init__)
+            # sensor-frame fixed affine (module docstring)
             x = cloud[:, 0] / self.half_fov_x
             y = cloud[:, 1] / self.half_fov_y
             z = (cloud[:, 2] + self.cam_dist) / self.pen_max - 1.0
@@ -105,9 +123,20 @@ class TCN:
         keys = jax.random.split(key, heightmaps.shape[0])
         return jax.vmap(one)(keys, heightmaps, masks)
 
-    def _embed_impl(self, variables, clouds):
-        occ = voxelize(clouds, self.grid_size)
-        emb = self.model.apply(variables, occ, train=False)
+    def heightmaps_to_images(self, heightmaps, masks):
+        """(B, H, W) -> (B, H, W, 2) [penetration / pen_max, mask]."""
+        pen = heightmaps * (self.pixmm / 1000.0) / self.pen_max
+        m = masks.astype(jnp.float32)
+        return jnp.stack([jnp.clip(pen, 0.0, 2.0) * m, m], axis=-1)
+
+    # -- embedding ------------------------------------------------------------
+
+    def _embed_impl(self, variables, inputs):
+        if self.arch == "HeightmapFPN":
+            emb = self.model.apply(variables, inputs, train=False)
+        else:
+            occ = voxelize(inputs, self.grid_size)
+            emb = self.model.apply(variables, occ, train=False)
         if self.normalize_embeddings:
             emb = emb / jnp.maximum(
                 jnp.linalg.norm(emb, axis=1, keepdims=True), 1e-12
@@ -116,6 +145,12 @@ class TCN:
 
     def clouds_to_codes(self, clouds: jax.Array) -> jax.Array:
         return self._embed(self.variables, clouds)
+
+    def model_inputs(self, key, heightmaps, masks):
+        """Backbone-appropriate inputs from heightmaps/masks."""
+        if self.arch == "HeightmapFPN":
+            return self.heightmaps_to_images(heightmaps, masks)
+        return self.heightmaps_to_clouds(key, heightmaps, masks)
 
     def cloud_to_tactile_code(
         self, heightmaps, masks, key: jax.Array | None = None
@@ -132,9 +167,9 @@ class TCN:
         out = []
         for i in range(0, hm.shape[0], self.batch_size):
             kb = jax.random.fold_in(key, i)
-            clouds = self.heightmaps_to_clouds(
+            inputs = self.model_inputs(
                 kb, hm[i : i + self.batch_size], mk[i : i + self.batch_size]
             )
-            out.append(self.clouds_to_codes(clouds))
+            out.append(self.clouds_to_codes(inputs))
         emb = jnp.concatenate(out, axis=0)
         return emb[0] if single else emb

@@ -1,4 +1,4 @@
-"""TCN (VoxelFPN) training: batch-hard triplet metric learning.
+"""TCN training: batch-hard triplet metric learning.
 
 Reference recipe (config/tcn/default.yaml:21-56): BatchHardTripletMargin
 loss, margin 0.2, normalized embeddings, Adam + MultiStepLR. Positive /
@@ -6,11 +6,13 @@ negative pairs are defined by gel-pose proximity (poses closer than
 `pos_dist` are positives, farther than `neg_dist` negatives) — the
 supervision the MinkLoc pipeline derives from its pickled position sets.
 
-Training data: rendered touches from `generate_data` (method=random) or
-poses sampled on the fly; clouds come from GT heightmaps.
+Backbone-agnostic: trains whichever model `tcn.model.model` selects
+(VoxelFPN over clouds or HeightmapFPN over penetration images). Training
+data is rendered on the fly from GT heightmaps — the TCN learns
+geometry->code independent of TDN quality.
 
 Run:
-    python -m midastouch_tpu.train.train_tcn expt.obj_model=sphere
+    python -m midastouch_tpu.train.train_tcn expt.obj_model=potato
 """
 
 from __future__ import annotations
@@ -24,7 +26,8 @@ import numpy as np
 import optax
 
 from midastouch_tpu.models.params_io import save_variables
-from midastouch_tpu.models.voxfpn import VoxelFPN, voxelize
+from midastouch_tpu.models.tcn import TCN
+from midastouch_tpu.models.voxfpn import voxelize
 from midastouch_tpu.utils.config import compose
 from midastouch_tpu.utils.misc import DIRS
 
@@ -46,15 +49,17 @@ def batch_hard_triplet_loss(
     return jnp.sum(loss * valid) / jnp.maximum(jnp.sum(valid), 1.0)
 
 
-def make_train_step(model: VoxelFPN, tx, grid_size: int, margin: float):
-    """(params, batch_stats, opt_state, clouds, pos_mask, neg_mask) -> ...
-    dp-shardable over the batch dim of `clouds`."""
+def make_train_step(tcn: TCN, tx, margin: float):
+    """(params, batch_stats, opt_state, inputs, pos_mask, neg_mask) -> ...
+    dp-shardable over the batch dim. `inputs` are backbone inputs
+    (clouds for VoxelFPN, images for HeightmapFPN)."""
+    model, arch, grid = tcn.model, tcn.arch, tcn.grid_size
 
-    def loss_fn(params, batch_stats, clouds, pos_mask, neg_mask):
-        occ = voxelize(clouds, grid_size)
+    def loss_fn(params, batch_stats, inputs, pos_mask, neg_mask):
+        x = inputs if arch == "HeightmapFPN" else voxelize(inputs, grid)
         emb, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            occ,
+            x,
             train=True,
             mutable=["batch_stats"],
         )
@@ -64,9 +69,9 @@ def make_train_step(model: VoxelFPN, tx, grid_size: int, margin: float):
         ]
 
     @jax.jit
-    def step(params, batch_stats, opt_state, clouds, pos_mask, neg_mask):
+    def step(params, batch_stats, opt_state, inputs, pos_mask, neg_mask):
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, batch_stats, clouds, pos_mask, neg_mask
+            params, batch_stats, inputs, pos_mask, neg_mask
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -82,33 +87,30 @@ def pose_masks(positions: np.ndarray, pos_dist: float, neg_dist: float):
     return (d < pos_dist) & ~eye, d > neg_dist
 
 
-def build_cloud_bank(cfg, obj_model: str, n_samples: int, seed: int = 0):
-    """Render n_samples touches and return (clouds (N,P,3), positions (N,3)).
-
-    Uses GT heightmaps — the TCN learns geometry->code independent of TDN.
-    """
+def build_touch_bank(cfg, obj_model: str, n_samples: int, seed: int = 0):
+    """Render n_samples touches -> (heightmaps f16, masks, positions)."""
     from midastouch_tpu.apps import common
     from midastouch_tpu.geometry.mesh import sample_poses_on_mesh
-    from midastouch_tpu.models.tcn import TCN
 
     rng = np.random.default_rng(seed)
     mesh = common.resolve_mesh(obj_model)
     renderer = common.make_renderer(cfg, mesh, randomize=False, seed=seed)
-    tcn = TCN(cfg.tcn, cfg.tdn.render, params_path="/nonexistent", seed=seed)
-
     poses = sample_poses_on_mesh(
         mesh, n_samples, rng, edges=True,
         shear_mag_deg=float(cfg.tdn.render.shear_mag),
     )
-    clouds, positions = [], []
+    hms_l, masks_l, pos_l = [], [], []
     bs = 64
     for i in range(0, n_samples, bs):
         hms, masks, _, _, gels = renderer.render_sensor_poses(poses[i : i + bs])
-        key = jax.random.fold_in(jax.random.PRNGKey(seed), i)
-        c = tcn.heightmaps_to_clouds(key, jnp.asarray(hms), jnp.asarray(masks))
-        clouds.append(np.asarray(c))
-        positions.append(gels[:, :3, 3])
-    return np.concatenate(clouds), np.concatenate(positions)
+        hms_l.append(hms.astype(np.float16))
+        masks_l.append(masks)
+        pos_l.append(gels[:, :3, 3])
+    return (
+        np.concatenate(hms_l),
+        np.concatenate(masks_l),
+        np.concatenate(pos_l),
+    )
 
 
 def train(
@@ -125,60 +127,66 @@ def train(
     batch_size = int(tr.batch_size)
     margin = float(tr.margin)
     pos_dist, neg_dist = float(tr.pos_dist), float(tr.neg_dist)
-    grid = int(m.get("grid_size", 64))
 
     obj_models = obj_models or [str(cfg.expt.obj_model)]
-    banks = [build_cloud_bank(cfg, o, n_samples // len(obj_models), seed) for o in obj_models]
-    clouds = np.concatenate([b[0] for b in banks])
-    positions = np.concatenate([b[1] for b in banks])
+    banks = [
+        build_touch_bank(cfg, o, n_samples // len(obj_models), seed)
+        for o in obj_models
+    ]
+    heightmaps = np.concatenate([b[0] for b in banks])
+    masks = np.concatenate([b[1] for b in banks])
+    positions = np.concatenate([b[2] for b in banks])
 
-    model = VoxelFPN(
-        planes=tuple(m.planes), layers=tuple(m.layers),
-        num_top_down=int(m.num_top_down),
-        conv0_kernel_size=int(m.conv0_kernel_size),
-        feature_size=int(m.feature_size),
-    )
-    key = jax.random.PRNGKey(seed)
-    variables = model.init(key, jnp.zeros((1, grid, grid, grid, 1)), train=False)
-    params, batch_stats = variables["params"], variables["batch_stats"]
+    tcn = TCN(cfg.tcn, cfg.tdn.render, params_path="/nonexistent", seed=seed)
+    params = tcn.variables["params"]
+    batch_stats = tcn.variables["batch_stats"]
 
     milestones = [int(x) for x in tr.scheduler_milestones]
-    steps_per_epoch = max(len(clouds) // batch_size, 1)
+    steps_per_epoch = max(len(heightmaps) // batch_size, 1)
     sched = optax.piecewise_constant_schedule(
-        float(tr.lr),
-        {ms * steps_per_epoch: 0.1 for ms in milestones},
+        float(tr.lr), {ms * steps_per_epoch: 0.1 for ms in milestones}
     )
     tx = optax.adamw(sched, weight_decay=float(tr.weight_decay))
     opt_state = tx.init(params)
-    step = make_train_step(model, tx, grid, margin)
+    step = make_train_step(tcn, tx, margin)
 
     rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
     if out_path is None:
         out_path = os.path.join(DIRS["weights"], str(m.tcn_weights))
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
 
     history = []
     for epoch in range(epochs):
-        perm = rng.permutation(len(clouds))
+        perm = rng.permutation(len(heightmaps))
         losses = []
         for i in range(0, len(perm) - batch_size + 1, batch_size):
             b = perm[i : i + batch_size]
             pos_mask, neg_mask = pose_masks(positions[b], pos_dist, neg_dist)
+            key, kb = jax.random.split(key)
+            inputs = tcn.model_inputs(
+                kb,
+                jnp.asarray(heightmaps[b], dtype=jnp.float32),
+                jnp.asarray(masks[b]),
+            )
             params, batch_stats, opt_state, loss = step(
                 params, batch_stats, opt_state,
-                jnp.asarray(clouds[b]), jnp.asarray(pos_mask), jnp.asarray(neg_mask),
+                inputs, jnp.asarray(pos_mask), jnp.asarray(neg_mask),
             )
             losses.append(loss)  # device scalar; fetched once per epoch
         losses = [float(x) for x in jax.device_get(losses)]
         history.append({"epoch": epoch, "loss": float(np.mean(losses))})
         if epoch % log_every == 0 or epoch == epochs - 1:
-            print(f"epoch {epoch}: triplet loss {np.mean(losses):.4f}")
+            print(f"epoch {epoch}: triplet loss {np.mean(losses):.4f}", flush=True)
         save_variables(out_path, {"params": params, "batch_stats": batch_stats})
     print(f"saved TCN weights -> {out_path}")
     return {"history": history, "out_path": out_path}
 
 
 def main(argv=None):
+    from midastouch_tpu.utils import runtime
+
+    runtime.setup()
     cfg = compose(argv if argv is not None else sys.argv[1:])
     train(cfg)
 

@@ -169,3 +169,41 @@ def test_tcn_sensor_frame_scaling_preserves_depth_signal():
     # (the global min-max scale collapses it to ~the gel-plane cell)
     z = np.asarray(ca[0][:, 2])
     assert z.max() - z.min() > 0.2
+
+
+def test_heightmap_fpn_tcn():
+    """2-D backbone path through the driver + trainer step."""
+    import optax
+    from midastouch_tpu.models.tcn import TCN
+    from midastouch_tpu.train.train_tcn import make_train_step, pose_masks
+    from midastouch_tpu.utils.config import compose
+
+    cfg = compose(
+        ["tdn.render.width=60", "tdn.render.height=80",
+         "tcn.model.model=HeightmapFPN", "tcn.model.planes=[8,16,16]",
+         "tcn.model.feature_size=32", "tcn.model.output_dim=32",
+         "tcn.model.num_points=256"]
+    )
+    tcn = TCN(cfg.tcn, cfg.tdn.render, params_path="/nonexistent")
+    assert tcn.arch == "HeightmapFPN"
+    hm = jnp.zeros((80, 60)).at[30:50, 20:40].set(30.0)
+    mask = jnp.zeros((80, 60), bool).at[30:50, 20:40].set(True)
+    code = tcn.cloud_to_tactile_code(hm, mask)
+    assert code.shape == (32,)
+    np.testing.assert_allclose(float(jnp.linalg.norm(code)), 1.0, atol=1e-4)
+
+    # a train step on this backbone runs and is finite
+    tx = optax.adam(1e-3)
+    params = tcn.variables["params"]
+    stats = tcn.variables["batch_stats"]
+    step = make_train_step(tcn, tx, margin=0.2)
+    inputs = tcn.model_inputs(
+        jax.random.PRNGKey(0), jnp.stack([hm] * 4), jnp.stack([mask] * 4)
+    )
+    pos = np.zeros((4, 4), bool); pos[0, 1] = pos[1, 0] = pos[2, 3] = pos[3, 2] = True
+    neg = ~pos & ~np.eye(4, dtype=bool)
+    _, _, _, loss = step(
+        params, stats, tx.init(params), inputs,
+        jnp.asarray(pos), jnp.asarray(neg),
+    )
+    assert np.isfinite(float(loss))
