@@ -15,7 +15,6 @@ then snap onto the codebook manifold).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
@@ -179,7 +178,6 @@ class FilterStep:
 
     # -- heatmap weights for viz (filter.py:213-215) ------------------------------
 
-    @functools.partial(jax.jit, static_argnums=0)
     def heatmap_weights(self, code: jax.Array) -> jax.Array:
         from midastouch_tpu.ops import knn
 
