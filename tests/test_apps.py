@@ -107,3 +107,26 @@ def test_run_filter(workspace, cfg):
     # stats file written in reference format
     out_root = os.path.join(workspace, "output", "sphere", "00", "trial_00")
     assert os.path.exists(os.path.join(out_root, "filter_stats.npy"))
+
+
+def test_live_demo_synthetic(workspace, cfg):
+    """Live-demo loop with the synthetic frame source (needs the codebook
+    built by test_build_codebook)."""
+    from midastouch_tpu.apps.live_demo import live_demo
+
+    peaks = live_demo(cfg, source="synthetic", max_frames=3)
+    assert len(peaks) == 3
+    assert all(np.isfinite(p) for p in peaks)
+
+
+def test_sweep_filter(workspace, cfg):
+    from midastouch_tpu.apps.sweep import run_sweep
+
+    cwd = os.getcwd()
+    os.chdir(workspace)
+    try:
+        out = run_sweep("filter", ["sphere"], [0], OVERRIDES)
+    finally:
+        os.chdir(cwd)
+    assert ("sphere", 0) in out
+    assert np.isfinite(out[("sphere", 0)]["mean_rmse_t_mm"])
