@@ -17,13 +17,17 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+from midastouch_tpu.models.voxfpn import make_norm
+
+
 class BasicBlock2D(nn.Module):
     planes: int
     dtype: jnp.dtype = jnp.float32
+    norm: str = "group"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = lambda: nn.BatchNorm(use_running_average=not train, dtype=self.dtype)
+        norm = make_norm(self.norm, train, self.dtype)
         conv = lambda f: nn.Conv(
             f, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype
         )
@@ -59,10 +63,11 @@ class HeightmapFPN(nn.Module):
     conv0_kernel_size: int = 5
     feature_size: int = 256
     dtype: jnp.dtype = jnp.float32
+    norm: str = "group"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = lambda: nn.BatchNorm(use_running_average=not train, dtype=self.dtype)
+        norm = make_norm(self.norm, train, self.dtype)
         mask = x[..., 1:2]
         x = x.astype(self.dtype)
 
@@ -85,7 +90,7 @@ class HeightmapFPN(nn.Module):
             )(x)
             x = nn.relu(norm()(x))
             for _ in range(nblocks):
-                x = BasicBlock2D(plane, dtype=self.dtype)(x, train)
+                x = BasicBlock2D(plane, dtype=self.dtype, norm=self.norm)(x, train)
             inplanes = plane
             mask = nn.max_pool(mask, (2, 2), strides=(2, 2))
             masks.append(mask)

@@ -77,6 +77,7 @@ class TCN:
             conv0_kernel_size=int(m.conv0_kernel_size),
             feature_size=int(m.feature_size),
             dtype=compute_dtype,
+            norm=str(m.get("norm", "group")),
         )
         if self.arch == "HeightmapFPN":
             self.model = HeightmapFPN(**kwargs)

@@ -45,15 +45,25 @@ def voxelize(points: jax.Array, grid_size: int) -> jax.Array:
     return jax.vmap(one)(idx)
 
 
+def make_norm(kind: str, train: bool, dtype):
+    """"group" (default): batch-independent GroupNorm — no train/eval-stats
+    gap, which matters for metric learning over ~99%-sparse grids.
+    "batch": BatchNorm, the reference's choice (ME.MinkowskiBatchNorm)."""
+    if kind == "group":
+        return lambda: nn.GroupNorm(num_groups=8, dtype=dtype)
+    return lambda: nn.BatchNorm(use_running_average=not train, dtype=dtype)
+
+
 class BasicBlock3D(nn.Module):
     """Two 3x3x3 convs + skip (ME resnet BasicBlock, resnet.py:31-137)."""
 
     planes: int
     dtype: jnp.dtype = jnp.float32
+    norm: str = "group"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = lambda: nn.BatchNorm(use_running_average=not train, dtype=self.dtype)
+        norm = make_norm(self.norm, train, self.dtype)
         conv = lambda f: nn.Conv(
             f, (3, 3, 3), padding="SAME", use_bias=False, dtype=self.dtype
         )
@@ -91,10 +101,11 @@ class VoxelFPN(nn.Module):
     conv0_kernel_size: int = 5
     feature_size: int = 256
     dtype: jnp.dtype = jnp.float32
+    norm: str = "group"
 
     @nn.compact
     def __call__(self, occupancy, train: bool = False):
-        norm = lambda: nn.BatchNorm(use_running_average=not train, dtype=self.dtype)
+        norm = make_norm(self.norm, train, self.dtype)
         x = occupancy.astype(self.dtype)
         mask = occupancy
 
@@ -118,7 +129,7 @@ class VoxelFPN(nn.Module):
             )(x)
             x = nn.relu(norm()(x))
             for _ in range(nblocks):
-                x = BasicBlock3D(plane, dtype=self.dtype)(x, train)
+                x = BasicBlock3D(plane, dtype=self.dtype, norm=self.norm)(x, train)
             inplanes = plane
             mask = nn.max_pool(mask, (2, 2, 2), strides=(2, 2, 2))
             masks.append(mask)

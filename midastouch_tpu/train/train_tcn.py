@@ -64,9 +64,8 @@ def make_train_step(tcn: TCN, tx, margin: float):
             mutable=["batch_stats"],
         )
         emb = emb / jnp.maximum(jnp.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
-        return batch_hard_triplet_loss(emb, pos_mask, neg_mask, margin), mutated[
-            "batch_stats"
-        ]
+        new_stats = mutated.get("batch_stats", batch_stats)
+        return batch_hard_triplet_loss(emb, pos_mask, neg_mask, margin), new_stats
 
     @jax.jit
     def step(params, batch_stats, opt_state, inputs, pos_mask, neg_mask):
@@ -87,21 +86,53 @@ def pose_masks(positions: np.ndarray, pos_dist: float, neg_dist: float):
     return (d < pos_dist) & ~eye, d > neg_dist
 
 
-def build_touch_bank(cfg, obj_model: str, n_samples: int, seed: int = 0):
-    """Render n_samples touches -> (heightmaps f16, masks, positions)."""
+def build_touch_bank(
+    cfg, obj_model: str, n_samples: int, seed: int = 0,
+    positive_jitter_t: float = 7e-4, positive_jitter_r_deg: float = 3.0,
+):
+    """Render anchor/positive touch PAIRS -> (heightmaps f16, masks,
+    positions). Entries 2i and 2i+1 are a positive pair (poses within the
+    jitter radius).
+
+    Random pose batches on a whole object essentially never contain
+    positive pairs at mm scale, which starves the triplet loss — the
+    reference curates explicit positive sets offline (train_sets pickles,
+    config/tcn/default.yaml:52-53); jittered pair rendering is the online
+    equivalent."""
+    import jax as _jax
+
     from midastouch_tpu.apps import common
     from midastouch_tpu.geometry.mesh import sample_poses_on_mesh
+    from midastouch_tpu.ops import se3
 
     rng = np.random.default_rng(seed)
     mesh = common.resolve_mesh(obj_model)
     renderer = common.make_renderer(cfg, mesh, randomize=False, seed=seed)
-    poses = sample_poses_on_mesh(
-        mesh, n_samples, rng, edges=True,
+    n_anchor = n_samples // 2
+    anchors = sample_poses_on_mesh(
+        mesh, n_anchor, rng, edges=True,
         shear_mag_deg=float(cfg.tdn.render.shear_mag),
     )
+    # positives: anchor pose with small SE(3) jitter (contact adapts via
+    # the renderer's over-pen compensation)
+    tn = rng.normal(0, positive_jitter_t, (n_anchor, 3)).astype(np.float32)
+    rn = np.radians(rng.normal(0, positive_jitter_r_deg, (n_anchor, 3))).astype(
+        np.float32
+    )
+    Rn = np.asarray(se3.euler_to_matrix(_jax.numpy.asarray(rn), "ZYX"))
+    Tn = np.zeros((n_anchor, 4, 4), np.float32)
+    Tn[:, :3, :3] = Rn
+    Tn[:, :3, 3] = tn
+    Tn[:, 3, 3] = 1.0
+    positives = anchors @ Tn
+
+    poses = np.empty((2 * n_anchor, 4, 4), np.float32)
+    poses[0::2] = anchors
+    poses[1::2] = positives
+
     hms_l, masks_l, pos_l = [], [], []
     bs = 64
-    for i in range(0, n_samples, bs):
+    for i in range(0, len(poses), bs):
         hms, masks, _, _, gels = renderer.render_sensor_poses(poses[i : i + bs])
         hms_l.append(hms.astype(np.float16))
         masks_l.append(masks)
@@ -139,7 +170,7 @@ def train(
 
     tcn = TCN(cfg.tcn, cfg.tdn.render, params_path="/nonexistent", seed=seed)
     params = tcn.variables["params"]
-    batch_stats = tcn.variables["batch_stats"]
+    batch_stats = tcn.variables.get("batch_stats", {})
 
     milestones = [int(x) for x in tr.scheduler_milestones]
     steps_per_epoch = max(len(heightmaps) // batch_size, 1)
@@ -156,12 +187,15 @@ def train(
         out_path = os.path.join(DIRS["weights"], str(m.tcn_weights))
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
 
+    n_pairs = len(heightmaps) // 2
     history = []
     for epoch in range(epochs):
-        perm = rng.permutation(len(heightmaps))
+        # shuffle PAIRS so every batch keeps its anchor/positive structure
+        pair_perm = rng.permutation(n_pairs)
         losses = []
-        for i in range(0, len(perm) - batch_size + 1, batch_size):
-            b = perm[i : i + batch_size]
+        for i in range(0, n_pairs - batch_size // 2 + 1, batch_size // 2):
+            pairs = pair_perm[i : i + batch_size // 2]
+            b = np.stack([2 * pairs, 2 * pairs + 1], axis=1).reshape(-1)
             pos_mask, neg_mask = pose_masks(positions[b], pos_dist, neg_dist)
             key, kb = jax.random.split(key)
             inputs = tcn.model_inputs(

@@ -195,7 +195,7 @@ def test_heightmap_fpn_tcn():
     # a train step on this backbone runs and is finite
     tx = optax.adam(1e-3)
     params = tcn.variables["params"]
-    stats = tcn.variables["batch_stats"]
+    stats = tcn.variables.get("batch_stats", {})
     step = make_train_step(tcn, tx, margin=0.2)
     inputs = tcn.model_inputs(
         jax.random.PRNGKey(0), jnp.stack([hm] * 4), jnp.stack([mask] * 4)
