@@ -44,11 +44,21 @@ def top_n_error(
     rand_err = np.linalg.norm(pos[rand_idx] - pos[:, None, :], axis=-1).mean(axis=1)
 
     normalized = errors / np.maximum(rand_err, 1e-12)
+
+    # embedding-spread diagnostics: collapsed code spaces (random-pair
+    # cosine -> 1) make retrieval trivially random regardless of the net
+    emb_np = np.asarray(emb)
+    i = rng.integers(0, m, 4000)
+    j = rng.integers(0, m, 4000)
+    pair_cos = np.sum(emb_np[i] * emb_np[j], axis=1)
+
     return {
         "median_normalized_error": float(np.median(normalized)),
         "mean_normalized_error": float(np.mean(normalized)),
         "mean_error_m": float(np.mean(errors)),
         "random_error_m": float(np.mean(rand_err)),
+        "random_pair_cosine_mean": float(pair_cos.mean()),
+        "random_pair_cosine_std": float(pair_cos.std()),
         "n": n,
         "codebook_size": m,
     }
