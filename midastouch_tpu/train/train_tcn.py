@@ -214,6 +214,10 @@ def train(
             print(f"epoch {epoch}: triplet loss {np.mean(losses):.4f}", flush=True)
         save_variables(out_path, {"params": params, "batch_stats": batch_stats})
     print(f"saved TCN weights -> {out_path}")
+    import json
+
+    with open(out_path + ".history.json", "w") as fh:
+        json.dump(history, fh)
     return {"history": history, "out_path": out_path}
 
 

@@ -83,6 +83,7 @@ def train(
     out_path: str | None = None,
     seed: int = 0,
     log_every: int = 10,
+    resume_path: str | None = None,
 ):
     images, targets = load_training_data(data_paths)
     n = len(images)
@@ -94,7 +95,13 @@ def train(
     h, w = int(cfg.tdn.render.height), int(cfg.tdn.render.width)
     model = FCRN(out_size=(h, w))
     key = jax.random.PRNGKey(seed)
-    variables = model.init(key, jnp.zeros((1, h, w, 3)), train=False)
+    if resume_path and os.path.exists(resume_path):
+        from midastouch_tpu.models.params_io import load_variables
+
+        variables = load_variables(resume_path)  # (reference train.py:113-125)
+        print(f"resumed weights from {resume_path}")
+    else:
+        variables = model.init(key, jnp.zeros((1, h, w, 3)), train=False)
     params, batch_stats = variables["params"], variables["batch_stats"]
 
     # LR x0.6 every 10 epochs (reference train.py:223-233)
@@ -149,6 +156,10 @@ def train(
                 out_path, {"params": params, "batch_stats": batch_stats}
             )
     print(f"best val RMSE {best_val:.4f} mm -> {out_path}")
+    import json
+
+    with open(out_path + ".history.json", "w") as fh:
+        json.dump(history, fh)  # TensorBoard-scalar equivalent (train.py:110,186)
     return {"best_val_rmse_mm": best_val, "history": history, "out_path": out_path}
 
 
