@@ -9,10 +9,12 @@ runtime.setup()
 from midastouch_tpu.utils.config import compose
 
 OBJ = "potato"
+import sys as _sys
+ARCH = "HeightmapFPN" if "heightmap" in _sys.argv[1:] else "VoxelFPN"
 BASE = [
     f"expt.obj_model={OBJ}", "expt.codebook_size=10000",
     "expt.params.num_particles=20000", "expt.render=false",
-    "tpu.render_max_faces=512",
+    "tpu.render_max_faces=512", f"tcn.model.model={ARCH}",
 ]
 def log(*a): print(f"[{time.strftime('%H:%M:%S')}]", *a, flush=True)
 
@@ -20,8 +22,8 @@ results = json.load(open("RESULTS.json")) if os.path.exists("RESULTS.json") else
 cfg = compose(BASE)
 
 from midastouch_tpu.train.train_tcn import train as train_tcn
-tcn_out = train_tcn(cfg, [OBJ], n_samples=1500, epochs=15, log_every=2)
-results["tcn_train"] = {"final_loss": tcn_out["history"][-1]["loss"], "epochs": 15}
+tcn_out = train_tcn(cfg, [OBJ], n_samples=2500, epochs=25, log_every=2)
+results["tcn_train"] = {"final_loss": tcn_out["history"][-1]["loss"], "epochs": 25, "arch": ARCH}
 log("tcn:", results["tcn_train"])
 
 from midastouch_tpu.apps.build_codebook import build_codebook
