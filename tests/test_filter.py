@@ -282,3 +282,64 @@ def test_end_to_end_localization_synthetic():
     # started with particles spread over the whole object; must converge
     assert final_rmse < 0.01, f"no convergence: {init_rmse} -> {final_rmse}"
     assert final_rmse < init_rmse * 0.5
+
+
+def test_end_to_end_localization_with_ann():
+    """Same synthetic localization but through the bucketed approximate
+    codebook NN — must converge equivalently (RMSE-parity gate for the
+    ANN path)."""
+    from midastouch_tpu.filter.step import FilterStep
+    from midastouch_tpu.ops.ann import build_bucket_index
+
+    rng = np.random.default_rng(0)
+    mesh = procedural.icosphere(radius=0.04, subdivisions=4)
+    pf = _make_pf(mesh, cluster_subsample=256, max_clusters=8)
+
+    M = 3000
+    cb_poses = sample_poses_on_mesh(mesh, M, rng, edges=False)
+    cam = cb_poses.copy()
+    cam[:, :3, 3] += cam[:, :3, 2] * 0.022
+    keys6 = np.asarray(
+        se3.se3_key_from_tf(jnp.asarray(cb_poses.astype(np.float32)))
+    )
+    emb = _smooth_embedding(keys6)
+    cb = Codebook.from_poses(cb_poses, cam, emb)
+    index = build_bucket_index(np.asarray(cb.keys), num_cells=64)
+    step = FilterStep(pf, cb, floor=256, ann_index=index)
+
+    T = 60
+    radius = 0.04
+    u = np.array([1.0, 0, 0])
+    v = np.array([0.0, np.cos(0.4), np.sin(0.4)])
+    s = 0.02 * np.arange(T)
+    pts = radius * (np.cos(s)[:, None] * u + np.sin(s)[:, None] * v)
+    normals = pts / radius
+    delta = 0.03 * np.arange(T)
+    traj = np.asarray(
+        se3.pose_from_vertex_normal(
+            jnp.asarray(pts.astype(np.float32)),
+            jnp.asarray(normals.astype(np.float32)),
+            0.0,
+            jnp.asarray(delta.astype(np.float32)),
+            jax.random.PRNGKey(9),
+        )
+    )
+    codes = _smooth_embedding(
+        np.asarray(se3.se3_key_from_tf(jnp.asarray(traj.astype(np.float32))))
+    )
+
+    key = jax.random.PRNGKey(0)
+    key, k0 = jax.random.split(key)
+    state = step.initialize(k0, jnp.asarray(traj[0], dtype=jnp.float32), 4096)
+    for i in range(1, T):
+        key, kk = jax.random.split(key)
+        odom = np.linalg.inv(traj[i - 1]) @ traj[i]
+        state, stats = step.update(
+            state, kk, jnp.asarray(codes[i]),
+            se3.matrix_to_quat(jnp.asarray(odom[:3, :3], dtype=jnp.float32)),
+            jnp.asarray(odom[:3, 3], dtype=jnp.float32),
+            jnp.asarray(traj[i], dtype=jnp.float32),
+            do_cluster=(i % 10 == 1),
+        )
+    final = float(stats.rmse_t)
+    assert final < 0.012, f"ANN path did not converge: {final}"
