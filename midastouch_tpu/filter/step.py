@@ -64,6 +64,7 @@ class FilterStep:
         self.softmax = softmax
         self._update = jax.jit(self._update_impl)
         self._sense = jax.jit(self._sense_impl) if (tdn and tcn) else None
+        self._replay = None  # built lazily (jit with static scan knobs)
 
     # -- sensing (filter.py:142-148) ------------------------------------------
 
@@ -175,6 +176,71 @@ class FilterStep:
             self.codebook, state, key, code, odom_q, odom_t, gt_pose,
             jnp.asarray(do_cluster), jnp.asarray(do_measurement),
         )
+
+    # -- whole-log replay as one device program ---------------------------------
+
+    def replay(
+        self,
+        state: ParticleState,
+        key: jax.Array,
+        odom_q_all: jax.Array,  # (T, 4)
+        odom_t_all: jax.Array,  # (T, 3)
+        gt_all: jax.Array,  # (T, 4, 4)
+        images: jax.Array | None = None,  # (T, H, W, 3) uint8 -> sense inside
+        codes: jax.Array | None = None,  # (T, E) precomputed tactile codes
+        cluster_every: int = 50,
+        measure_every: int = 1,
+    ):
+        """Run the full sense-update loop over a whole log in ONE jit via
+        lax.scan — no per-frame host dispatches at all. The reference
+        cannot express this (its loop crosses the CPU five times per
+        frame); this is the offline-replay / benchmark fast path. Returns
+        (final state, per-frame (rmse_t, rmse_r, n_active))."""
+        if (images is None) == (codes is None):
+            raise ValueError("pass exactly one of images/codes")
+        if self._replay is None:
+            self._replay = jax.jit(
+                self._replay_impl,
+                static_argnames=("do_sense", "cluster_every", "measure_every"),
+            )
+        sense_inputs = images if images is not None else codes
+        return self._replay(
+            self.codebook,
+            self.tdn.variables if images is not None else None,
+            self.tcn.variables if images is not None else None,
+            state, key, odom_q_all, odom_t_all, gt_all, sense_inputs,
+            do_sense=images is not None,
+            cluster_every=cluster_every, measure_every=measure_every,
+        )
+
+    def _replay_impl(
+        self, codebook, tdn_vars, tcn_vars, state, key,
+        odom_q_all, odom_t_all, gt_all, sense_inputs, do_sense,
+        cluster_every, measure_every,
+    ):
+        def body(carry, xs):
+            state, key, i = carry
+            inp, oq, ot, gt = xs
+            key, ks, ku = jax.random.split(key, 3)
+            if do_sense:
+                code, _, _ = self._sense_impl(tdn_vars, tcn_vars, inp, ks)
+            else:
+                code = inp
+            state, stats = self._update_impl(
+                codebook, state, ku, code, oq, ot, gt,
+                i % cluster_every == 0,
+                i % measure_every == 0,
+            )
+            return (state, key, i + 1), (
+                stats.rmse_t, stats.rmse_r, stats.n_active
+            )
+
+        (state, _, _), seq = jax.lax.scan(
+            body,
+            (state, key, jnp.int32(0)),
+            (sense_inputs, odom_q_all, odom_t_all, gt_all),
+        )
+        return state, seq
 
     # -- heatmap weights for viz (filter.py:213-215) ------------------------------
 

@@ -99,3 +99,35 @@ def test_fused_step_measurement_gating():
     # after resampling from uniform weights, gathered weights stay uniform
     w = np.asarray(state2.weights)[np.asarray(state2.alive)]
     assert np.allclose(w, w[0])
+
+
+def test_replay_scan_matches_loop():
+    """One-dispatch scan replay == per-frame update loop (same keys)."""
+    import __graft_entry__ as g
+
+    step, state0, (code, odom_q, odom_t, gt_pose), key = g._tiny_setup(
+        capacity=256, codebook_size=128
+    )
+    T = 6
+    codes = jnp.tile(code[None], (T, 1))
+    oq = jnp.tile(odom_q[None], (T, 1))
+    ot = jnp.tile(odom_t[None], (T, 1))
+    gts = jnp.tile(gt_pose[None], (T, 1, 1))
+
+    # loop path with the same key schedule as replay's scan body
+    state = state0
+    k = key
+    rmses = []
+    for i in range(T):
+        k, ks, ku = jax.random.split(k, 3)
+        state, stats = step.update(
+            state, ku, code, odom_q, odom_t, gt_pose,
+            do_cluster=(i % 50 == 0), do_measurement=True,
+        )
+        rmses.append(float(stats.rmse_t))
+
+    final, seq = step.replay(
+        state0, key, oq, ot, gts, codes=codes, cluster_every=50
+    )
+    np.testing.assert_allclose(np.asarray(seq[0]), np.asarray(rmses), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(final.t), np.asarray(state.t), atol=1e-6)
