@@ -37,10 +37,10 @@ def batch_hard_triplet_loss(
 ) -> jax.Array:
     """Hardest-positive / hardest-negative triplet margin loss over a batch
     of L2-normalized embeddings (MinkLoc's BatchHardTripletMarginLoss)."""
+    # smoothed distance: sqrt has unbounded gradient at 0 and anchor/
+    # positive pairs sit near 0 — the 1e-6 floor bounds the grad at 500
     d = jnp.sqrt(
-        jnp.maximum(
-            jnp.sum((emb[:, None, :] - emb[None, :, :]) ** 2, axis=-1), 1e-12
-        )
+        jnp.sum((emb[:, None, :] - emb[None, :, :]) ** 2, axis=-1) + 1e-6
     )
     hardest_pos = jnp.max(jnp.where(pos_mask, d, 0.0), axis=1)
     hardest_neg = jnp.min(jnp.where(neg_mask, d, jnp.inf), axis=1)
@@ -177,7 +177,10 @@ def train(
     sched = optax.piecewise_constant_schedule(
         float(tr.lr), {ms * steps_per_epoch: 0.1 for ms in milestones}
     )
-    tx = optax.adamw(sched, weight_decay=float(tr.weight_decay))
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(sched, weight_decay=float(tr.weight_decay)),
+    )
     opt_state = tx.init(params)
     step = make_train_step(tcn, tx, margin)
 
