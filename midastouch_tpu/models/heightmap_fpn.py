@@ -50,7 +50,9 @@ class GeM2D(nn.Module):
         xp = jnp.clip(x.astype(jnp.float32), self.eps, None) ** p
         num = jnp.sum(xp * mask, axis=(1, 2))
         den = jnp.maximum(jnp.sum(mask, axis=(1, 2)), 1.0)
-        return (num / den) ** (1.0 / p)
+        # +1e-4 inside the root: d/dx x^(1/p) is unbounded at 0 and
+        # zero-contact samples (empty mask) hit exactly 0 -> NaN grads
+        return (num / den + 1e-4) ** (1.0 / p)
 
 
 class HeightmapFPN(nn.Module):
