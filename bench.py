@@ -69,21 +69,21 @@ def main() -> None:
     odom_q = jnp.array([1.0, 0.0, 0.0, 0.0])
     odom_t = jnp.array([5e-4, 0.0, 0.0])
 
-    def run(state, key, i):
-        key, k = jax.random.split(key)
-        state, stats = step.update(
-            state, k, code, odom_q, odom_t, gt_pose,
-            do_cluster=(i % 50 == 0), do_measurement=True,
-        )
-        return state, key, stats
+    # whole-window replay: ITERS update steps as ONE lax.scan device
+    # program (includes one cluster refresh per 50 steps, like the app)
+    codes = jnp.tile(code[None], (ITERS, 1))
+    oq = jnp.tile(odom_q[None], (ITERS, 1))
+    ot = jnp.tile(odom_t[None], (ITERS, 1))
+    gts = jnp.tile(gt_pose[None], (ITERS, 1, 1))
 
-    for i in range(WARMUP):
-        state, key, stats = run(state, key, i)
+    key, kw, kr = jax.random.split(key, 3)
+    state, _ = step.replay(state, kw, oq, ot, gts, codes=codes,
+                           cluster_every=50)  # warmup/compile, same shapes
     jax.block_until_ready(state.t)
 
     t0 = time.perf_counter()
-    for i in range(ITERS):
-        state, key, stats = run(state, key, i)  # i=0 includes a cluster pass
+    state, seq = step.replay(state, kr, oq, ot, gts, codes=codes,
+                             cluster_every=50)
     jax.block_until_ready(state.t)
     dt = time.perf_counter() - t0
 
