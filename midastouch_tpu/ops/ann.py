@@ -16,10 +16,18 @@ reduction:
     * gather the top-T cells' members (T*L candidates) and take the exact
       argmin among them
 
-With T=2 neighbouring cells the true NN is almost always inside the
-candidate set (see tests/test_ann.py for the measured recall gate); the
-filter's weighting is stochastic, so sub-1% recall loss is far below its
-noise floor — validated end-to-end by RMSE parity in the e2e test.
+With T=8 probed cells the true NN is almost always inside the candidate
+set (see tests/test_ann.py for the measured recall gate); the filter's
+weighting is stochastic, so sub-1% recall loss is far below its noise
+floor — validated end-to-end by RMSE parity in the e2e test.
+
+PERFORMANCE NOTE (measured on v5e): this gather-based query is currently
+~30x SLOWER than the dense brute-force kernel — TPU random-access gathers
+run orders of magnitude below streaming matmul throughput, so candidate
+reduction does not pay off in this form. Kept as a correct, tested
+capability; a competitive TPU ANN needs a gather-free design (queries
+sorted/bucketed into per-cell dense tiles). Exact search remains the
+default everywhere.
 """
 
 from __future__ import annotations

@@ -164,9 +164,14 @@ def nn_search(
     """Exact 1-NN: squared L2 distance + index of the closest point.
 
     queries: (N, D), points: (M, D) -> (sqdist (N,), idx (N,)).
+
+    "auto" resolves to the XLA path: measured head-to-head on v5e it
+    matches or beats the Pallas kernel inside scanned filter steps, and
+    Mosaic compiles through this environment's tunnel are slow/uncached.
+    The kernel remains selectable with backend="pallas".
     """
     if backend == "auto":
-        backend = "pallas" if _on_tpu() else "xla"
+        backend = "xla"
     if backend == "pallas":
         return _nn_pallas(queries, points)
     return _nn_xla(queries, points)
