@@ -57,3 +57,25 @@ def test_exact_self_queries(rng):
     # id is returned
     d = np.linalg.norm(keys[approx] - keys[:500], axis=1)
     assert d.max() < 1e-6
+
+
+def test_windowed_nn_recall(rng):
+    from midastouch_tpu.ops.ann import build_sorted_index, nn_search_windowed
+
+    keys = _codebook_keys(rng, 8000)
+    queries = _codebook_keys(rng, 4000) + rng.normal(
+        size=(4000, 6)
+    ).astype(np.float32) * 1e-3
+    index = build_sorted_index(keys, num_cells=256)
+    approx = np.asarray(
+        nn_search_windowed(jnp.asarray(queries), index, window=4096, tile=256)
+    )
+    _, exact = knn.nn_search(jnp.asarray(queries), jnp.asarray(keys), backend="xla")
+    exact = np.asarray(exact)
+    recall = np.mean(approx == exact)
+    d_a = np.linalg.norm(keys[approx] - queries, axis=1)
+    d_e = np.linalg.norm(keys[exact] - queries, axis=1)
+    regret = np.quantile(d_a - d_e, 0.999)
+    # experimental path: measured envelope (see ops/ann.py docstring)
+    assert recall > 0.9, f"windowed recall {recall}"
+    assert np.mean(d_a - d_e) < 5e-4, f"windowed mean regret {regret}"
