@@ -53,17 +53,29 @@ def systematic_resample(
 ) -> jax.Array:
     """Low-variance (systematic) resampling: one shared uniform offset,
     evenly spaced sample locations (reference "low_var"/"low_var_batch",
-    particle_filter.py:252-307)."""
-    wn = normalize_weights(weights).astype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    particle_filter.py:252-307).
+
+    Search-free formulation: offspring counts come in closed form from the
+    CDF (count_j = floor(N*cdf_j - u) - floor(N*cdf_{j-1} - u)), and the
+    index sequence is reconstructed with one scatter + cumsum — no
+    vectorized binary search (searchsorted is ~17 gather rounds on TPU).
+    """
+    wn = normalize_weights(weights)
     cdf = jnp.cumsum(wn)
     cdf = cdf / cdf[-1]
-    offset = jax.random.uniform(key, ()) / num_samples
-    locs = jnp.arange(num_samples, dtype=cdf.dtype) / num_samples + offset
-    return jnp.clip(
-        jnp.searchsorted(cdf, locs, side="right").astype(jnp.int32),
-        0,
-        weights.shape[0] - 1,
-    )
+    u = jax.random.uniform(key, ())
+    # number of sample locations strictly below cdf_j
+    below = jnp.floor(num_samples * cdf - u).astype(jnp.int32) + 1
+    below = jnp.clip(below, 0, num_samples)
+    counts = jnp.diff(below, prepend=0)
+    # first output slot of each parent = exclusive cumsum of counts; write
+    # the parent INDEX there and fill the runs with a running maximum
+    first_slot = below - counts
+    parents = jnp.arange(weights.shape[0], dtype=jnp.int32)
+    z = jnp.zeros(num_samples, jnp.int32).at[
+        jnp.where(counts > 0, first_slot, num_samples)
+    ].max(parents, mode="drop")
+    return jax.lax.associative_scan(jnp.maximum, z)
 
 
 def resample_indices(

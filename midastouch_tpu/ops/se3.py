@@ -328,6 +328,23 @@ def euler_to_matrix(angles: jax.Array, convention: str = "ZYX") -> jax.Array:
     return _mm(_mm(m0, m1), m2)
 
 
+def euler_to_quat(angles: jax.Array, convention: str = "ZYX") -> jax.Array:
+    """Euler angles (radians, (...,3)) -> quaternion (wxyz), same intrinsic
+    composition as euler_to_matrix but as three axis-quaternion products —
+    pure elementwise math, no 3x3 matrices (the hot path for motion noise)."""
+    if len(convention) != 3 or any(c not in _AXES for c in convention):
+        raise ValueError(f"invalid convention {convention}")
+    q = None
+    for i, c in enumerate(convention):
+        half = 0.5 * angles[..., i : i + 1]
+        cos, sin = jnp.cos(half), jnp.sin(half)
+        zero = jnp.zeros_like(cos)
+        parts = {"X": (sin, zero, zero), "Y": (zero, sin, zero), "Z": (zero, zero, sin)}[c]
+        qi = jnp.concatenate([cos, *parts], axis=-1)
+        q = qi if q is None else quat_mul(q, qi)
+    return q
+
+
 def wrap_angles_deg(a: jax.Array) -> jax.Array:
     """Wrap degrees to (-180, 180] (reference pose.py:178-189)."""
     out = jnp.mod(a + 180.0, 360.0) - 180.0

@@ -231,3 +231,12 @@ def test_jit_and_vmap_compat():
     T = se3.se3_exp(jnp.ones((4, 6)) * 0.1)
     out = f(T)
     assert out.shape == (4, 6)
+
+
+def test_euler_to_quat_matches_matrix_path(rng):
+    ang = rng.uniform(-np.pi, np.pi, size=(64, 3)).astype(np.float32)
+    for conv in ("ZYX", "XYZ"):
+        q = se3.euler_to_quat(jnp.asarray(ang), conv)
+        q_ref = se3.matrix_to_quat(se3.euler_to_matrix(jnp.asarray(ang), conv))
+        sign = np.sign(np.sum(np.asarray(q) * np.asarray(q_ref), axis=1, keepdims=True))
+        np.testing.assert_allclose(np.asarray(q) * sign, np.asarray(q_ref), atol=1e-5)
