@@ -60,10 +60,11 @@ def systematic_resample(
     index sequence is reconstructed with one scatter + cumsum — no
     vectorized binary search (searchsorted is ~17 gather rounds on TPU).
     """
+    k_u, k_perm = jax.random.split(key)
     wn = normalize_weights(weights)
     cdf = jnp.cumsum(wn)
     cdf = cdf / cdf[-1]
-    u = jax.random.uniform(key, ())
+    u = jax.random.uniform(k_u, ())
     # number of sample locations strictly below cdf_j
     below = jnp.floor(num_samples * cdf - u).astype(jnp.int32) + 1
     below = jnp.clip(below, 0, num_samples)
@@ -75,7 +76,13 @@ def systematic_resample(
     z = jnp.zeros(num_samples, jnp.int32).at[
         jnp.where(counts > 0, first_slot, num_samples)
     ].max(parents, mode="drop")
-    return jax.lax.associative_scan(jnp.maximum, z)
+    idx = jax.lax.associative_scan(jnp.maximum, z)
+    # The run-length construction emits draws SORTED by parent index; any
+    # prefix of that is a spatially biased subsample, which breaks the
+    # fixed-capacity filter's alive-prefix masking when annealing shrinks
+    # the population. A random output permutation (one int32 gather)
+    # restores exchangeability.
+    return idx[jax.random.permutation(k_perm, num_samples)]
 
 
 def resample_indices(
