@@ -138,6 +138,11 @@ TEST_OBJECTS = {
     "box": lambda: box(divisions=12),
     "cylinder": lambda: cylinder(),
     "potato": lambda: potato(),
+    # sharper, denser features than `potato` — for embedding-quality work
+    "rock": lambda: potato(
+        subdivisions=5, num_bumps=60, bump_height=0.35, bump_width=0.25,
+        seed=11,
+    ),
 }
 
 

@@ -28,7 +28,8 @@ from midastouch_tpu.utils.config import compose  # noqa: E402
 
 QUICK = len(sys.argv) > 1 and sys.argv[1] == "quick"
 
-OBJ = "potato"
+import os as _os
+OBJ = _os.environ.get("PIPELINE_OBJ", "potato")
 N_TRAIN_TRAJ = 120 if QUICK else 400
 N_TRAIN_RAND = 120 if QUICK else 400
 N_EVAL = 60 if QUICK else 150
