@@ -75,7 +75,13 @@ class ParticleFilter:
             resample_method=str(cfg.tpu.resample_method),
             backend=str(cfg.tpu.backend),
         )
+        # The drift gate compares particle->nearest-VERTEX distance against
+        # pen_max (2 mm); the table must stay denser than the gate or true
+        # on-surface particles get pruned. The reference's fixed ::10 works
+        # on ~100k-vertex YCB meshes; cap the stride so at least ~2000
+        # vertices survive on sparser meshes.
         stride = int(cfg.tpu.mesh_vertex_stride)
+        stride = max(1, min(stride, len(mesh.vertices) // 2000))
         return cls(
             params=params,
             mesh_vertices=jnp.asarray(mesh.downsampled_vertices(stride)),
