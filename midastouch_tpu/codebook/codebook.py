@@ -144,6 +144,21 @@ class Codebook:
             idx,
         )
 
+    def similarity(self, code: jax.Array) -> jax.Array:
+        """Cosine similarity of one live tactile code against EVERY codebook
+        entry, (M,). One streaming matvec over the embedding table.
+
+        This inverts the reference's measurement dataflow
+        (particle_filter.py:449-469 gathers each particle's 256-d codebook
+        embedding, then dots): similarity per codebook entry does not depend
+        on the particle, so computing it once per step and gathering the
+        scalar per particle replaces an (N, 256) row gather — random-access
+        HBM traffic TPUs hate — with an (N,) one."""
+        qn = code / jnp.maximum(jnp.linalg.norm(code), 1e-12)
+        dots = self.embeddings @ qn
+        norms = jnp.sqrt(jnp.sum(self.embeddings * self.embeddings, axis=1))
+        return dots / jnp.maximum(norms, 1e-12)
+
     def get_poses(self):
         return self.q, self.t, self.cam_q, self.cam_t
 

@@ -146,6 +146,14 @@ class ParticleFilter:
         """Cosine similarity of the live tactile code against each
         particle's codebook embedding, optionally masked-softmaxed."""
         w = knn.cosine_similarity(code, nn_codes)
+        return self.weights_from_similarity(w, alive, softmax=softmax)
+
+    def weights_from_similarity(
+        self, w: jax.Array, alive: jax.Array, softmax: bool = True
+    ) -> jax.Array:
+        """Masked-softmax weighting of precomputed per-particle cosine
+        scores (the fused update computes them as one codebook matvec +
+        scalar gather; see Codebook.similarity)."""
         w = jnp.where(alive, w, 0.0)
         if not softmax:
             return w

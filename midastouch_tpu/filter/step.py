@@ -121,21 +121,30 @@ class FilterStep:
         # RMSE before the measurement update (reference order, :164-166)
         rmse_t, rmse_r = pf.rmse(state, gt_pose)
 
-        # measurement: codebook NN + cosine weighting
-        nn_q, nn_t, _, _, nn_codes, _ = codebook.se3_nn(
+        # measurement: codebook NN + cosine weighting. The per-entry
+        # similarity is one matvec over the whole codebook; each particle
+        # then gathers ONE scalar instead of its NN's 256-d embedding row
+        # (reference dataflow, particle_filter.py:449-469).
+        idx = codebook.se3_nn_idx(
             state.q, state.t, backend=pf.params.backend,
             ann_index=self.ann_index,
         )
-        w = pf.get_similarity(code, nn_codes, state.alive, softmax=self.softmax)
+        sims = codebook.similarity(code)
+        w = pf.weights_from_similarity(
+            sims[idx], state.alive, softmax=self.softmax
+        )
         w = jnp.where(do_measurement, w, state.alive_f)
         state = state._replace(weights=w)
 
-        # drift pruning + all-drifted re-projection (:176-179)
+        # drift pruning + all-drifted re-projection (:176-179). The NN pose
+        # gathers only happen on the (rare) all-drifted branch.
         state, drifted = pf.remove_invalid_particles(state)
-        state = state._replace(
-            q=jnp.where(drifted, nn_q, state.q),
-            t=jnp.where(drifted, nn_t, state.t),
+        q, t = jax.lax.cond(
+            drifted,
+            lambda: (codebook.q[idx], codebook.t[idx]),
+            lambda: (state.q, state.t),
         )
+        state = state._replace(q=q, t=t)
 
         # clustering every N steps (:182-183)
         state = jax.lax.cond(
