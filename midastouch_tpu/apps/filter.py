@@ -85,8 +85,13 @@ def run_filter(
     tdn, tcn = common.make_nets(cfg, bg=renderer.get_background("gel"))
     pf = ParticleFilter.from_config(cfg, mesh)
     codebook = Codebook.load(common.codebook_path(obj_model))
+    ann_cfg = cfg.tpu.get("codebook_ann")
     ann_index = (
-        codebook.build_ann_index() if bool(cfg.tpu.get("codebook_ann")) else None
+        codebook.build_ann_index(
+            kind=ann_cfg if isinstance(ann_cfg, str) else "bucketed"
+        )
+        if ann_cfg
+        else None
     )
     step = FilterStep(
         pf, codebook, tdn=tdn, tcn=tcn, floor=1000, small_parts=small,

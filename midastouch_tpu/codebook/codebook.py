@@ -95,12 +95,23 @@ class Codebook:
     # -- queries ---------------------------------------------------------------
 
     def build_ann_index(
-        self, num_cells: int | None = None, seed: int = 0
+        self, kind: str = "bucketed", num_cells: int | None = None,
+        seed: int = 0,
     ):
-        """Bucketed ANN index over the keys (ops/ann.py) — built once per
-        codebook load; cuts the per-step NN cost ~20x at >99% recall."""
-        from midastouch_tpu.ops.ann import build_bucket_index
+        """Approximate-NN index over the keys (ops/ann.py) — built once per
+        codebook load. kind="windowed" (sorted contiguous bands, gather-
+        free — the TPU-competitive one) or "bucketed" (gathered cells)."""
+        from midastouch_tpu.ops.ann import (
+            build_bucket_index,
+            build_sorted_index,
+        )
 
+        if kind == "windowed":
+            return build_sorted_index(
+                np.asarray(self.keys),
+                num_cells=num_cells or max(64, len(self) // 96),
+                seed=seed,
+            )
         if num_cells is None:
             num_cells = max(32, len(self) // 128)
         return build_bucket_index(
@@ -114,14 +125,24 @@ class Codebook:
         backend: str = "auto",
         ann_index=None,
         top_cells: int = 8,
+        ann_window: int = 4096,
+        ann_probes: int = 3,
     ) -> jax.Array:
         """Nearest codebook entry per query pose (reference SE3_NN,
         tactile_tree.py:43-58, nn=1). Exact by default; pass an
-        `ann_index` for the bucketed approximate path."""
+        `ann_index` (SortedIndex or BucketIndex) for approximate search."""
         keys = se3.se3_key(q, t)
         if ann_index is not None:
-            from midastouch_tpu.ops.ann import nn_search_bucketed
+            from midastouch_tpu.ops.ann import (
+                SortedIndex,
+                nn_search_bucketed,
+                nn_search_windowed,
+            )
 
+            if isinstance(ann_index, SortedIndex):
+                return nn_search_windowed(
+                    keys, ann_index, window=ann_window, probes=ann_probes
+                )
             return jnp.minimum(
                 nn_search_bucketed(keys, ann_index, top_cells=top_cells),
                 len(self) - 1,

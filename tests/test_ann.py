@@ -67,15 +67,39 @@ def test_windowed_nn_recall(rng):
         size=(4000, 6)
     ).astype(np.float32) * 1e-3
     index = build_sorted_index(keys, num_cells=256)
-    approx = np.asarray(
-        nn_search_windowed(jnp.asarray(queries), index, window=4096, tile=256)
-    )
     _, exact = knn.nn_search(jnp.asarray(queries), jnp.asarray(keys), backend="xla")
     exact = np.asarray(exact)
-    recall = np.mean(approx == exact)
-    d_a = np.linalg.norm(keys[approx] - queries, axis=1)
     d_e = np.linalg.norm(keys[exact] - queries, axis=1)
-    regret = np.quantile(d_a - d_e, 0.999)
-    # experimental path: measured envelope (see ops/ann.py docstring)
-    assert recall > 0.9, f"windowed recall {recall}"
-    assert np.mean(d_a - d_e) < 5e-4, f"windowed mean regret {regret}"
+
+    # single-band: measured envelope ~0.93 (curve seams)
+    approx1 = np.asarray(
+        nn_search_windowed(jnp.asarray(queries), index, window=4096, tile=256,
+                           probes=1)
+    )
+    recall1 = np.mean(approx1 == exact)
+    assert recall1 > 0.9, f"single-band recall {recall1}"
+
+    # multi-pass probing (re-sort by each query's k-th cell): recall >0.99
+    # at this density, regret negligible
+    approx3 = np.asarray(
+        nn_search_windowed(jnp.asarray(queries), index, window=4096, tile=256,
+                           probes=3)
+    )
+    recall3 = np.mean(approx3 == exact)
+    d_a = np.linalg.norm(keys[approx3] - queries, axis=1)
+    assert recall3 > 0.99, f"3-probe recall {recall3}"
+    assert recall3 > recall1
+    assert np.mean(d_a - d_e) < 5e-5, f"3-probe mean regret {np.mean(d_a - d_e)}"
+
+
+def test_hilbert_order_unit_steps():
+    """Defining property of the Hilbert curve: consecutive ranks on a dense
+    grid are spatially adjacent (unit steps) — Morton order is not."""
+    from midastouch_tpu.ops.ann import _hilbert_order
+
+    g = np.stack(
+        np.meshgrid(*[np.arange(8)] * 3, indexing="ij"), -1
+    ).reshape(-1, 3).astype(np.float32)
+    o = _hilbert_order(g, bits=3)
+    steps = np.linalg.norm(np.diff(g[o], axis=0), axis=1)
+    assert steps.max() == 1.0

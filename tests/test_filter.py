@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from midastouch_tpu.codebook import Codebook
 from midastouch_tpu.filter import FilterParams, ParticleFilter, ParticleState
@@ -284,12 +285,12 @@ def test_end_to_end_localization_synthetic():
     assert final_rmse < init_rmse * 0.5
 
 
-def test_end_to_end_localization_with_ann():
-    """Same synthetic localization but through the bucketed approximate
-    codebook NN — must converge equivalently (RMSE-parity gate for the
-    ANN path)."""
+@pytest.mark.parametrize("kind", ["bucketed", "windowed"])
+def test_end_to_end_localization_with_ann(kind):
+    """Same synthetic localization but through an approximate codebook NN
+    (bucketed gathers / gather-free windowed) — must converge equivalently
+    (RMSE-parity gate for the ANN paths)."""
     from midastouch_tpu.filter.step import FilterStep
-    from midastouch_tpu.ops.ann import build_bucket_index
 
     rng = np.random.default_rng(0)
     mesh = procedural.icosphere(radius=0.04, subdivisions=4)
@@ -304,7 +305,7 @@ def test_end_to_end_localization_with_ann():
     )
     emb = _smooth_embedding(keys6)
     cb = Codebook.from_poses(cb_poses, cam, emb)
-    index = build_bucket_index(np.asarray(cb.keys), num_cells=64)
+    index = cb.build_ann_index(kind=kind, num_cells=64)
     step = FilterStep(pf, cb, floor=256, ann_index=index)
 
     T = 60
