@@ -86,19 +86,86 @@ def pose_masks(positions: np.ndarray, pos_dist: float, neg_dist: float):
     return (d < pos_dist) & ~eye, d > neg_dist
 
 
+@jax.jit
+def augment_heightmaps(
+    key: jax.Array,
+    hms: jax.Array,  # (B, H, W) gel-frame heightmaps, px units
+    masks: jax.Array,  # (B, H, W) bool
+    lowfreq_px: float = 1.5,
+    white_px: float = 0.5,
+):
+    """TDN-noise augmentation: perturb GT heightmaps the way the depth
+    network's ESTIMATES are wrong, so codebook codes built from estimated
+    heightmaps (the reference's choice, build_codebook.py:94-98) stay in
+    distribution. Measured round 1: GT-heightmap codebook single-touch
+    0.786 vs estimated 0.865 — this closes that domain gap at the source.
+
+    FCRN error is dominated by smooth low-frequency miscalibration plus
+    pixel noise (~0.05 mm RMSE = ~1.7 px at pixmm=0.03); mask errors are
+    boundary over/under-segmentation. Modeled as: bilinear-upsampled 4x3
+    random field + white noise on the heightmap, random one-pixel
+    erosion/dilation of the mask."""
+    b, h, w = hms.shape
+    k1, k2, k3 = jax.random.split(key, 3)
+    coarse = jax.random.normal(k1, (b, 4, 3)) * lowfreq_px
+    field = jax.image.resize(coarse, (b, h, w), method="bilinear")
+    white = jax.random.normal(k2, (b, h, w)) * white_px
+    hms = hms + field + white
+
+    # mask morphology: per-sample choice of erode / keep / dilate
+    m = masks.astype(jnp.float32)[:, None]  # NCHW for reduce_window
+    eroded = -jax.lax.reduce_window(
+        -m, -jnp.inf, jax.lax.max, (1, 1, 3, 3), (1, 1, 1, 1), "SAME"
+    )
+    dilated = jax.lax.reduce_window(
+        m, -jnp.inf, jax.lax.max, (1, 1, 3, 3), (1, 1, 1, 1), "SAME"
+    )
+    choice = jax.random.randint(k3, (b, 1, 1, 1), 0, 3)
+    m = jnp.where(choice == 0, eroded, jnp.where(choice == 2, dilated, m))
+    return hms, m[:, 0] > 0.5
+
+
+def mine_hard_negatives(
+    emb_bank: np.ndarray,  # (M, E) L2-normalized embeddings of the bank
+    positions: np.ndarray,  # (M, 3)
+    anchor_ids: np.ndarray,  # (G,) bank indices to mine for
+    neg_dist: float,
+    k: int = 1,
+) -> np.ndarray:
+    """Globally hardest negatives: for each anchor, the bank entries with
+    the highest embedding similarity among those farther than `neg_dist`
+    in pose — the confusable aliases batch-local sampling never surfaces.
+    Returns (G, k) bank indices."""
+    sims = emb_bank[anchor_ids] @ emb_bank.T  # (G, M)
+    d = np.linalg.norm(
+        positions[anchor_ids][:, None] - positions[None, :], axis=-1
+    )
+    sims[d <= neg_dist] = -np.inf  # only true negatives are candidates
+    return np.argsort(-sims, axis=1)[:, :k]
+
+
 def build_touch_bank(
     cfg, obj_model: str, n_samples: int, seed: int = 0,
     positive_jitter_t: float = 7e-4, positive_jitter_r_deg: float = 3.0,
+    near_negative_dist: tuple[float, float] | None = None,
 ):
-    """Render anchor/positive touch PAIRS -> (heightmaps f16, masks,
-    positions). Entries 2i and 2i+1 are a positive pair (poses within the
-    jitter radius).
+    """Render touch GROUPS -> (heightmaps f16, masks, positions). Entries
+    come in groups of 3: (anchor, positive, near-negative):
+
+      * positive  — anchor pose with mm-scale SE(3) jitter (contact adapts
+        via the renderer's over-pen compensation),
+      * near-negative — a touch re-projected onto the surface at a tangent
+        offset just beyond `neg_dist` (default 1.2-3x), i.e. at the 10-30 mm
+        aliasing scale retrieval actually has to resolve.
 
     Random pose batches on a whole object essentially never contain
     positive pairs at mm scale, which starves the triplet loss — the
     reference curates explicit positive sets offline (train_sets pickles,
-    config/tcn/default.yaml:52-53); jittered pair rendering is the online
-    equivalent."""
+    config/tcn/default.yaml:52-53). And random batch NEGATIVES are distant
+    touches that are trivially separable, so training never shapes the
+    medium-distance scale (measured round 1: triplet loss 0.02 with
+    single-touch WORSE than chance-adjacent) — the rendered near-negatives
+    put that scale inside every batch."""
     import jax as _jax
 
     from midastouch_tpu.apps import common
@@ -108,13 +175,15 @@ def build_touch_bank(
     rng = np.random.default_rng(seed)
     mesh = common.resolve_mesh(obj_model)
     renderer = common.make_renderer(cfg, mesh, randomize=False, seed=seed)
-    n_anchor = n_samples // 2
+    neg_dist = float(cfg.tcn.train.neg_dist)
+    lo, hi = near_negative_dist or (1.2 * neg_dist, 3.0 * neg_dist)
+
+    n_anchor = max(n_samples // 3, 1)
     anchors = sample_poses_on_mesh(
         mesh, n_anchor, rng, edges=True,
         shear_mag_deg=float(cfg.tdn.render.shear_mag),
     )
-    # positives: anchor pose with small SE(3) jitter (contact adapts via
-    # the renderer's over-pen compensation)
+    # positives: anchor pose with small SE(3) jitter
     tn = rng.normal(0, positive_jitter_t, (n_anchor, 3)).astype(np.float32)
     rn = np.radians(rng.normal(0, positive_jitter_r_deg, (n_anchor, 3))).astype(
         np.float32
@@ -126,9 +195,40 @@ def build_touch_bank(
     Tn[:, 3, 3] = 1.0
     positives = anchors @ Tn
 
-    poses = np.empty((2 * n_anchor, 4, 4), np.float32)
-    poses[0::2] = anchors
-    poses[1::2] = positives
+    # near-negatives: walk a random tangent direction from the anchor's
+    # contact by U(lo, hi), re-project to the nearest surface vertex and
+    # synthesize a fresh touch pose from its normal
+    verts = np.asarray(mesh.vertices, np.float32)
+    vnorm = np.asarray(mesh.vertex_normals, np.float32)
+    c = anchors[:, :3, 3]
+    z = anchors[:, :3, 2]
+    rd = rng.normal(size=(n_anchor, 3)).astype(np.float32)
+    tang = rd - np.sum(rd * z, axis=1, keepdims=True) * z
+    tang /= np.maximum(np.linalg.norm(tang, axis=1, keepdims=True), 1e-9)
+    step_len = rng.uniform(lo, hi, (n_anchor, 1)).astype(np.float32)
+    target = c + tang * step_len
+    d2 = (
+        np.sum(target**2, 1)[:, None]
+        - 2 * target @ verts.T
+        + np.sum(verts**2, 1)[None, :]
+    )
+    vi = np.argmin(d2, axis=1)
+    near_negs = np.asarray(
+        se3.pose_from_vertex_normal(
+            _jax.numpy.asarray(verts[vi]),
+            _jax.numpy.asarray(vnorm[vi]),
+            float(cfg.tdn.render.shear_mag),
+            _jax.numpy.asarray(
+                rng.uniform(0, 2 * np.pi, n_anchor).astype(np.float32)
+            ),
+            _jax.random.PRNGKey(seed + 1),
+        )
+    )
+
+    poses = np.empty((3 * n_anchor, 4, 4), np.float32)
+    poses[0::3] = anchors
+    poses[1::3] = positives
+    poses[2::3] = near_negs
 
     hms_l, masks_l, pos_l = [], [], []
     bs = 64
@@ -190,22 +290,55 @@ def train(
         out_path = os.path.join(DIRS["weights"], str(m.tcn_weights))
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
 
-    n_pairs = len(heightmaps) // 2
+    def embed_bank(params, batch_stats, bs=128):
+        """Eval-mode embeddings of the whole bank (for global mining)."""
+        variables = {"params": params, "batch_stats": batch_stats}
+        out, kk = [], jax.random.PRNGKey(0)
+        for i in range(0, len(heightmaps), bs):
+            kk, kb = jax.random.split(kk)
+            hm = heightmaps[i : i + bs].astype(np.float32)
+            mk = masks[i : i + bs]
+            pad = bs - len(hm)  # pad the tail batch: one compiled shape
+            if pad:
+                hm = np.concatenate([hm, np.zeros((pad,) + hm.shape[1:], hm.dtype)])
+                mk = np.concatenate([mk, np.zeros((pad,) + mk.shape[1:], mk.dtype)])
+            inputs = tcn.model_inputs(kb, jnp.asarray(hm), jnp.asarray(mk))
+            e = tcn._embed_impl(variables, inputs)
+            out.append(np.asarray(e)[: bs - pad if pad else bs])
+        e = np.concatenate(out)
+        return e / np.maximum(np.linalg.norm(e, axis=1, keepdims=True), 1e-12)
+
+    # batches: G rendered groups (anchor, positive, near-negative) + G
+    # globally mined hard negatives per batch
+    n_groups = len(heightmaps) // 3
+    g_per_batch = max(batch_size // 4, 1)
     history = []
+    mined = None  # (n_groups, 1) bank ids, refreshed each epoch after warmup
     for epoch in range(epochs):
-        # shuffle PAIRS so every batch keeps its anchor/positive structure
-        pair_perm = rng.permutation(n_pairs)
+        if epoch >= 2:
+            emb_bank = embed_bank(params, batch_stats)
+            mined = mine_hard_negatives(
+                emb_bank, positions, 3 * np.arange(n_groups), neg_dist, k=1
+            )
+        group_perm = rng.permutation(n_groups)
         losses = []
-        for i in range(0, n_pairs - batch_size // 2 + 1, batch_size // 2):
-            pairs = pair_perm[i : i + batch_size // 2]
-            b = np.stack([2 * pairs, 2 * pairs + 1], axis=1).reshape(-1)
+        for i in range(0, n_groups - g_per_batch + 1, g_per_batch):
+            g = group_perm[i : i + g_per_batch]
+            b = np.stack([3 * g, 3 * g + 1, 3 * g + 2], axis=1).reshape(-1)
+            extra = (
+                mined[g, 0]
+                if mined is not None
+                else rng.integers(0, len(heightmaps), len(g))
+            )
+            b = np.concatenate([b, extra])
             pos_mask, neg_mask = pose_masks(positions[b], pos_dist, neg_dist)
-            key, kb = jax.random.split(key)
-            inputs = tcn.model_inputs(
-                kb,
+            key, ka, kb = jax.random.split(key, 3)
+            hm_b, mask_b = augment_heightmaps(
+                ka,
                 jnp.asarray(heightmaps[b], dtype=jnp.float32),
                 jnp.asarray(masks[b]),
             )
+            inputs = tcn.model_inputs(kb, hm_b, mask_b)
             params, batch_stats, opt_state, loss = step(
                 params, batch_stats, opt_state,
                 inputs, jnp.asarray(pos_mask), jnp.asarray(neg_mask),

@@ -54,6 +54,34 @@ def test_sharded_update_matches_unsharded(tiny):
     assert len(out_sharded.t.sharding.device_set) == 8
 
 
+def test_sharded_update_2d_codebook_rows(tiny):
+    """2-D (dp x cb) mesh: particles AND codebook rows sharded — the
+    pod-scale layout where the codebook no longer fits replicated."""
+    from midastouch_tpu.parallel.sharding import make_device_mesh_2d
+
+    step, state, code, odom_q, odom_t, gt_pose, key = tiny
+    mesh = make_device_mesh_2d(4, 2)
+
+    sstate = shard_state(state, mesh)
+    update = make_sharded_update(step, mesh, cb_axis="cb")
+    out_sharded, stats_sharded = update(
+        sstate, key, code, odom_q, odom_t, gt_pose,
+        do_cluster=True, do_measurement=True,
+    )
+    out_ref, stats_ref = step.update(
+        state, key, code, odom_q, odom_t, gt_pose,
+        do_cluster=True, do_measurement=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sharded.t), np.asarray(out_ref.t), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(stats_sharded.rmse_t), float(stats_ref.rmse_t), rtol=1e-4
+    )
+    assert int(stats_sharded.n_active) == int(stats_ref.n_active)
+    assert len(out_sharded.t.sharding.device_set) == 8
+
+
 def test_state_shardings_pytree(tiny):
     step, state, *_ = tiny
     mesh = make_device_mesh(8)

@@ -59,3 +59,44 @@ def test_triplet_loss_no_valid_pairs():
     empty = jnp.zeros((3, 3), bool)
     loss = float(batch_hard_triplet_loss(emb, empty, empty, margin=0.2))
     assert loss == 0.0
+
+
+def test_augment_heightmaps():
+    from midastouch_tpu.train.train_tcn import augment_heightmaps
+
+    key = jax.random.PRNGKey(0)
+    hms = jnp.ones((4, 32, 24)) * 10.0
+    masks = jnp.zeros((4, 32, 24), bool).at[:, 8:24, 6:18].set(True)
+    hm2, m2 = augment_heightmaps(key, hms, masks)
+    assert hm2.shape == hms.shape and m2.shape == masks.shape
+    assert m2.dtype == jnp.bool_
+    # perturbs but stays in the plausible few-px envelope
+    delta = np.abs(np.asarray(hm2) - 10.0)
+    assert delta.max() > 0.1 and delta.max() < 15.0
+    # mask stays a perturbation of the original (within one dilation)
+    m2 = np.asarray(m2)
+    grown = np.asarray(
+        jax.lax.reduce_window(
+            masks.astype(jnp.float32)[:, None], -jnp.inf, jax.lax.max,
+            (1, 1, 3, 3), (1, 1, 1, 1), "SAME",
+        )[:, 0] > 0.5
+    )
+    assert not (m2 & ~grown).any()
+
+
+def test_mine_hard_negatives():
+    from midastouch_tpu.train.train_tcn import mine_hard_negatives
+
+    # entry 3 is a far-pose alias of anchor 0 (same embedding, far pose);
+    # entry 1 is nearby in pose (must be excluded despite sim=1)
+    emb = np.array(
+        [[1, 0], [1, 0], [0, 1], [1, 0], [0.5, 0.5]], dtype=np.float32
+    )
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    pos = np.array(
+        [[0, 0, 0], [0.001, 0, 0], [0.1, 0, 0], [0.2, 0, 0], [0.3, 0, 0]],
+        dtype=np.float32,
+    )
+    mined = mine_hard_negatives(emb, pos, np.array([0]), neg_dist=0.01, k=2)
+    assert mined[0, 0] == 3  # the true alias
+    assert 1 not in mined[0]  # pose-near entries are not negatives
