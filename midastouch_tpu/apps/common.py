@@ -52,6 +52,22 @@ def make_nets(cfg, bg, real: bool = False):
     return tdn, tcn
 
 
+def ann_kwargs(cfg, codebook) -> dict:
+    """FilterStep kwargs for the codebook-NN search strategy, from the
+    tpu.codebook_ann / ann_top_cells / ann_window / ann_probes knobs."""
+    kind = cfg.tpu.get("codebook_ann")
+    if not kind:
+        return {"ann_index": None}
+    return {
+        "ann_index": codebook.build_ann_index(
+            kind=kind if isinstance(kind, str) else "windowed"
+        ),
+        "ann_top_cells": int(cfg.tpu.ann_top_cells),
+        "ann_window": int(cfg.tpu.ann_window),
+        "ann_probes": int(cfg.tpu.ann_probes),
+    }
+
+
 def codebook_path(obj_model: str) -> str:
     return os.path.join(DIRS["trees"], obj_model, "codebook.npz")
 

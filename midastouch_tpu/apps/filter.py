@@ -34,13 +34,29 @@ from midastouch_tpu.utils.config import compose
 from midastouch_tpu.utils.misc import StageTimer, images_to_video, remove_and_mkdir
 
 
+@jax.jit
+def _relative_odom(meas: jax.Array, prev_idx, idx):
+    """Odometry across the ACTUALLY elapsed interval (reference
+    filter.py:154: odom = inv(meas_p[prev_idx]) @ meas_p[idx]). Under
+    realtime replay, frames are skipped when iterations are slow and
+    repeated when they are fast; composing prev->current (rather than
+    indexing a precomputed adjacent-frame table) keeps skipped
+    displacement and yields identity on repeats."""
+    rel = se3.tf_inverse(meas[prev_idx]) @ meas[idx]
+    return se3.matrix_to_quat(rel[:3, :3]), rel[:3, 3]
+
+
 def run_filter(
     cfg,
     viz=None,
     seed: int = 0,
     realtime: bool = True,
     profile_stages: bool = False,
+    frame_schedule=None,
 ) -> dict:
+    """`frame_schedule`: optional explicit sequence of frame indices to
+    process (overrides the realtime clock) — lets tests force the frame
+    skips/repeats that realtime replay produces under load."""
     expt = cfg.expt
     obj_model = str(expt.obj_model)
     log_id = str(expt.log_id).zfill(2)
@@ -63,7 +79,9 @@ def run_filter(
     traj_size = min(len(images), len(gelposes))
     gt_p = jnp.asarray(gelposes)
 
-    # whole-trajectory odometry, one op (meas_p[i-1]^-1 @ meas_p[i])
+    # whole-trajectory adjacent-frame odometry, one op — valid ONLY for the
+    # sequential replay fast path (every frame processed exactly once); the
+    # realtime loop composes prev_idx->idx per iteration via _relative_odom
     meas_j = jnp.asarray(meas_p[:traj_size])
     odom_all = se3.tf_inverse(meas_j[:-1]) @ meas_j[1:]
     odom_q_all = jnp.concatenate(
@@ -85,17 +103,9 @@ def run_filter(
     tdn, tcn = common.make_nets(cfg, bg=renderer.get_background("gel"))
     pf = ParticleFilter.from_config(cfg, mesh)
     codebook = Codebook.load(common.codebook_path(obj_model))
-    ann_cfg = cfg.tpu.get("codebook_ann")
-    ann_index = (
-        codebook.build_ann_index(
-            kind=ann_cfg if isinstance(ann_cfg, str) else "bucketed"
-        )
-        if ann_cfg
-        else None
-    )
     step = FilterStep(
         pf, codebook, tdn=tdn, tcn=tcn, floor=1000, small_parts=small,
-        ann_index=ann_index,
+        **common.ann_kwargs(cfg, codebook),
     )
 
     key = jax.random.PRNGKey(seed)
@@ -111,7 +121,7 @@ def run_filter(
     device_stats: list = []  # StepStats pytrees, fetched once at the end
 
     # ---- offline fast path: whole log as ONE device program ----------------
-    if not realtime and viz is None:
+    if not realtime and viz is None and frame_schedule is None:
         key, k0, k_sense, k_replay = jax.random.split(key, 4)
         state = step.initialize(k0, gt_p[0], init_particles)
         rmse0 = pf.rmse(state, gt_p[0])
@@ -156,7 +166,12 @@ def run_filter(
     frame_wall: list[float] = []
     while True:
         # real-time replay indexing (filter.py:134-140)
-        idx = int(frame_rate * stats["total_time"]) if realtime else count
+        if frame_schedule is not None:
+            if count >= len(frame_schedule):
+                break
+            idx = int(frame_schedule[count])
+        else:
+            idx = int(frame_rate * stats["total_time"]) if realtime else count
         if idx >= traj_size:
             break
         t_frame = time.perf_counter()
@@ -188,8 +203,9 @@ def run_filter(
 
         if profile_stages:
             timer.start("meas")
+        odom_q, odom_t = _relative_odom(meas_j, prev_idx, idx)
         state, sstats = step.update(
-            state, k_step, code, odom_q_all[idx], odom_t_all[idx], gt_p[idx],
+            state, k_step, code, odom_q, odom_t, gt_p[idx],
             do_cluster=(count % 50 == 0), do_measurement=True,
         )
         if profile_stages:

@@ -119,7 +119,8 @@ def run_filter_real(cfg, viz=None, seed: int = 0, realtime: bool = True) -> dict
     tdn, tcn = common.make_nets(cfg, bg=renderer.get_background("gel"), real=True)
     pf = ParticleFilter.from_config(cfg, mesh, real=True)
     codebook = Codebook.load(common.codebook_path(obj_model))
-    step = FilterStep(pf, codebook, tdn=tdn, tcn=tcn, floor=10000, softmax=False)
+    step = FilterStep(pf, codebook, tdn=tdn, tcn=tcn, floor=10000, softmax=False,
+                      **common.ann_kwargs(cfg, codebook))
 
     key = jax.random.PRNGKey(seed)
     timer = StageTimer()

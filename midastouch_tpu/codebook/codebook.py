@@ -90,7 +90,16 @@ class Codebook:
     @classmethod
     def load(cls, path: str) -> "Codebook":
         d = np.load(path)
-        return cls(**{k: jnp.asarray(d[k]) for k in d.files})
+        arrays = {k: jnp.asarray(d[k]) for k in d.files}
+        # re-establish the L2-normalized invariant `similarity` relies on
+        # (from_poses guarantees it; external/legacy npz files may not);
+        # rows already unit-norm are passed through bit-exact
+        emb = arrays["embeddings"]
+        norms = jnp.linalg.norm(emb, axis=1, keepdims=True)
+        arrays["embeddings"] = jnp.where(
+            jnp.abs(norms - 1.0) > 1e-4, emb / jnp.maximum(norms, 1e-12), emb
+        )
+        return cls(**arrays)
 
     # -- queries ---------------------------------------------------------------
 
@@ -111,6 +120,11 @@ class Codebook:
                 np.asarray(self.keys),
                 num_cells=num_cells or max(64, len(self) // 96),
                 seed=seed,
+            )
+        if kind != "bucketed":
+            raise ValueError(
+                f"unknown ANN kind {kind!r}: expected 'windowed' or "
+                "'bucketed' (use tpu.codebook_ann=false for exact search)"
             )
         if num_cells is None:
             num_cells = max(32, len(self) // 128)
@@ -175,10 +189,11 @@ class Codebook:
         on the particle, so computing it once per step and gathering the
         scalar per particle replaces an (N, 256) row gather — random-access
         HBM traffic TPUs hate — with an (N,) one."""
+        # invariant: self.embeddings rows are L2-normalized (enforced by
+        # from_poses and load), so the matvec IS the cosine — recomputing
+        # row norms here would double the per-step streaming over (M, E)
         qn = code / jnp.maximum(jnp.linalg.norm(code), 1e-12)
-        dots = self.embeddings @ qn
-        norms = jnp.sqrt(jnp.sum(self.embeddings * self.embeddings, axis=1))
-        return dots / jnp.maximum(norms, 1e-12)
+        return self.embeddings @ qn
 
     def get_poses(self):
         return self.q, self.t, self.cam_q, self.cam_t

@@ -50,6 +50,9 @@ class FilterStep:
         small_parts: bool = False,
         softmax: bool = True,
         ann_index=None,
+        ann_top_cells: int = 8,
+        ann_window: int = 4096,
+        ann_probes: int = 3,
     ):
         self.pf = pf
         self.codebook = codebook
@@ -57,8 +60,12 @@ class FilterStep:
         self.tcn = tcn
         self.floor = floor
         self.small_parts = small_parts
-        # optional bucketed ANN index for the codebook NN (ops/ann.py)
+        # optional ANN index for the codebook NN (ops/ann.py) + its search
+        # knobs (tpu.ann_top_cells / ann_window / ann_probes in the config)
         self.ann_index = ann_index
+        self.ann_top_cells = ann_top_cells
+        self.ann_window = ann_window
+        self.ann_probes = ann_probes
         # sim path softmaxes similarity weights (filter.py:172); the real
         # path uses raw cosine scores (filter_real.py:209)
         self.softmax = softmax
@@ -128,6 +135,9 @@ class FilterStep:
         idx = codebook.se3_nn_idx(
             state.q, state.t, backend=pf.params.backend,
             ann_index=self.ann_index,
+            top_cells=self.ann_top_cells,
+            ann_window=self.ann_window,
+            ann_probes=self.ann_probes,
         )
         sims = codebook.similarity(code)
         w = pf.weights_from_similarity(

@@ -273,7 +273,12 @@ def train(
     batch_stats = tcn.variables.get("batch_stats", {})
 
     milestones = [int(x) for x in tr.scheduler_milestones]
-    steps_per_epoch = max(len(heightmaps) // batch_size, 1)
+    # one optimizer step consumes g_per_batch 3-entry groups (+ mined
+    # negatives); derive steps/epoch from that loop, not len/batch_size,
+    # so the LR milestones land on the configured epochs
+    _n_groups = len(heightmaps) // 3
+    _g_per_batch = max(batch_size // 4, 1)
+    steps_per_epoch = max((_n_groups - _g_per_batch) // _g_per_batch + 1, 1)
     sched = optax.piecewise_constant_schedule(
         float(tr.lr), {ms * steps_per_epoch: 0.1 for ms in milestones}
     )
@@ -310,8 +315,7 @@ def train(
 
     # batches: G rendered groups (anchor, positive, near-negative) + G
     # globally mined hard negatives per batch
-    n_groups = len(heightmaps) // 3
-    g_per_batch = max(batch_size // 4, 1)
+    n_groups, g_per_batch = _n_groups, _g_per_batch
     history = []
     mined = None  # (n_groups, 1) bank ids, refreshed each epoch after warmup
     for epoch in range(epochs):

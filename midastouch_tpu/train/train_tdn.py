@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import yaml
 
 from midastouch_tpu.models.fcrn import FCRN
 from midastouch_tpu.models.params_io import save_variables
@@ -170,7 +171,7 @@ def main(argv=None):
     for a in argv:
         if a.startswith("train."):
             k, v = a.split("=", 1)
-            kw[k.split(".", 1)[1]] = eval(v)  # noqa: S307 - CLI numbers
+            kw[k.split(".", 1)[1]] = yaml.safe_load(v)  # CLI numbers/bools
     data_root = dataio.dataset_path(str(cfg.expt.obj_model), cfg.expt.log_id)
     train(cfg, [data_root], **kw)
 

@@ -109,6 +109,62 @@ def test_run_filter(workspace, cfg):
     assert os.path.exists(os.path.join(out_root, "filter_stats.npy"))
 
 
+def test_relative_odom_skip_repeat(workspace, cfg):
+    """Realtime odometry must compose across the ACTUALLY elapsed interval
+    (reference filter.py:154) — identity on frame repeats, composed
+    displacement on skips. Round-1 regression: the app indexed a
+    precomputed adjacent-frame table, re-applying stale 1-frame odometry
+    on repeats and dropping displacement on skips."""
+    import jax.numpy as jnp
+
+    from midastouch_tpu.apps.filter import _relative_odom
+    from midastouch_tpu.ops import se3
+    from midastouch_tpu.utils import dataio
+
+    _, _, meas = dataio.load_poses(dataio.dataset_path("sphere", 0))
+    meas_j = jnp.asarray(meas)
+
+    # repeat (idx == prev_idx) -> exactly identity odometry
+    q, t = _relative_odom(meas_j, 4, 4)
+    np.testing.assert_allclose(np.abs(np.asarray(q)), [1, 0, 0, 0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t), 0.0, atol=1e-7)
+
+    # skip (2 -> 5) == the full relative transform, which equals the chain
+    # of adjacent-frame odometries — NOT the single adjacent entry at 5
+    q_s, t_s = _relative_odom(meas_j, 2, 5)
+    rel = np.asarray(se3.tf_inverse(meas_j[2]) @ meas_j[5])
+    np.testing.assert_allclose(np.asarray(se3.quat_to_matrix(q_s)), rel[:3, :3], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t_s), rel[:3, 3], atol=1e-6)
+    adj5 = np.asarray(se3.tf_inverse(meas_j[4]) @ meas_j[5])
+    assert not np.allclose(np.asarray(t_s), adj5[:3, 3], atol=1e-6)
+
+
+def test_filter_frame_skip_repeat_parity(workspace, cfg):
+    """Replaying with forced skips/repeats must stay consistent with the
+    sequential replay: repeats are odometry no-ops and skips keep the
+    skipped displacement, so the final RMSE matches the sequential run's
+    scale instead of drifting (round-1 realtime odometry bug)."""
+    from midastouch_tpu.apps.filter import run_filter
+
+    cwd = os.getcwd()
+    os.chdir(workspace)
+    try:
+        seq = run_filter(cfg, viz=None, realtime=False,
+                         frame_schedule=list(range(25)))
+        # heavy repeats early (old bug: same displacement re-applied each
+        # repeat => systematic drift), then skips of 2-4 frames
+        schedule = [0, 1, 1, 1, 1, 1, 1, 1, 1, 3, 5, 7, 9, 12, 15, 18, 21, 24]
+        skewed = run_filter(cfg, viz=None, realtime=False,
+                            frame_schedule=schedule)
+    finally:
+        os.chdir(cwd)
+    assert np.all(np.isfinite(seq["rmse_t"])) and np.all(np.isfinite(skewed["rmse_t"]))
+    # parity: same trajectory covered, so the final error must be on the
+    # same scale (the old bug inflated it via repeated odometry injection)
+    final_seq, final_skew = seq["rmse_t"][-1], skewed["rmse_t"][-1]
+    assert final_skew < max(3.0 * final_seq, seq["rmse_t"][0])
+
+
 def test_live_demo_synthetic(workspace, cfg):
     """Live-demo loop with the synthetic frame source (needs the codebook
     built by test_build_codebook)."""
