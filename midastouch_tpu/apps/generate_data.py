@@ -17,7 +17,10 @@ import numpy as np
 
 from midastouch_tpu.apps import common
 from midastouch_tpu.geometry.mesh import sample_poses_on_mesh
-from midastouch_tpu.geometry.trajectories import random_surface_walk
+from midastouch_tpu.geometry.trajectories import (
+    manual_waypoint_path,
+    random_surface_walk,
+)
 from midastouch_tpu.utils import dataio
 from midastouch_tpu.utils.config import compose
 
@@ -47,6 +50,16 @@ def touch_simulator(cfg, obj_model: str | None = None, seed: int = 0) -> str:
             mesh, n, rng, edges=(method == "random+edges"),
             shear_mag_deg=float(cfg.tdn.render.shear_mag),
         )
+    elif method == "manual":
+        # reference touch_simulator.py:74-101 'manual': slide along chords
+        # between waypoints; headless waypoint input replaces the open3d
+        # click GUI (data_gen/utils.py:175-192)
+        wps = dg.get("waypoints")
+        if wps in (None, "None"):
+            vi = rng.choice(len(mesh.vertices), int(dg.num_waypoints),
+                            replace=False)
+            wps = np.asarray(mesh.vertices)[vi]
+        poses = manual_waypoint_path(mesh, np.asarray(wps, np.float32), n, rng)
     else:
         raise ValueError(f"unknown datagen method {method}")
 

@@ -33,9 +33,13 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm = lambda: nn.BatchNorm(use_running_average=not train, dtype=self.dtype)
+        # stride-2 3x3 convs use explicit symmetric (1,1) padding: XLA SAME
+        # pads (0,1) under stride 2, shifting the sampling grid by one input
+        # pixel vs the reference's torch padding=1 (fcrn.py:30-32) and
+        # breaking checkpoint-conversion parity
         conv = lambda f, k, s=1: nn.Conv(
-            f, (k, k), strides=(s, s), padding="SAME", use_bias=False,
-            dtype=self.dtype,
+            f, (k, k), strides=(s, s),
+            padding=((k // 2, k // 2),) * 2, use_bias=False, dtype=self.dtype,
         )
         residual = x
         out = nn.relu(norm()(conv(self.planes, 1)(x)))
@@ -96,12 +100,17 @@ class FCRN(nn.Module):
     def __call__(self, x, train: bool = False, bottleneck: bool = False):
         norm = lambda: nn.BatchNorm(use_running_average=not train, dtype=self.dtype)
         x = x.astype(self.dtype)
+        # explicit torch-style symmetric padding (stem pad 3, pool pad 1):
+        # under stride 2, XLA SAME pads asymmetrically and shifts the
+        # sampling grid vs the reference (fcrn.py:181-184) — see Bottleneck
         x = nn.Conv(
-            64, (7, 7), strides=(2, 2), padding="SAME", use_bias=False,
-            dtype=self.dtype,
+            64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+            use_bias=False, dtype=self.dtype,
         )(x)
         x = nn.relu(norm()(x))
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = nn.max_pool(
+            x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+        )
 
         for i, (blocks, planes) in enumerate(zip(self.layers, (64, 128, 256, 512))):
             for j in range(blocks):
