@@ -60,7 +60,16 @@ def main() -> None:
         mesh_vertices=jnp.asarray(mesh.downsampled_vertices(1)),
         mesh_scale=mesh.scale,
     )
-    step = FilterStep(pf, codebook, floor=1000)
+    # production-default fast path (config/tpu/default.yaml): windowed ANN
+    # codebook search, bf16 embedding table, codebook-NN drift gate —
+    # accuracy-gated by tests/test_filter.py e2e + scripts/bench_localization
+    ann_index = codebook.build_ann_index(kind="windowed")
+    codebook = codebook.astype_embeddings(jnp.bfloat16)
+    step = FilterStep(
+        pf, codebook, floor=1000,
+        ann_index=ann_index, ann_window=2048, ann_probes=2,
+        drift_from_codebook=True,
+    )
 
     key = jax.random.PRNGKey(0)
     key, k0 = jax.random.split(key)

@@ -54,18 +54,31 @@ def make_nets(cfg, bg, real: bool = False):
 
 def ann_kwargs(cfg, codebook) -> dict:
     """FilterStep kwargs for the codebook-NN search strategy, from the
-    tpu.codebook_ann / ann_top_cells / ann_window / ann_probes knobs."""
+    tpu.codebook_ann / ann_top_cells / ann_window / ann_probes knobs,
+    plus the drift-gate source (tpu.drift_from_codebook)."""
     kind = cfg.tpu.get("codebook_ann")
-    if not kind:
-        return {"ann_index": None}
-    return {
-        "ann_index": codebook.build_ann_index(
+    kw = {
+        "drift_from_codebook": bool(cfg.tpu.get("drift_from_codebook", True))
+    }
+    if not kind or kind == "false":
+        kw["ann_index"] = None
+        return kw
+    kw.update(
+        ann_index=codebook.build_ann_index(
             kind=kind if isinstance(kind, str) else "windowed"
         ),
-        "ann_top_cells": int(cfg.tpu.ann_top_cells),
-        "ann_window": int(cfg.tpu.ann_window),
-        "ann_probes": int(cfg.tpu.ann_probes),
-    }
+        ann_top_cells=int(cfg.tpu.ann_top_cells),
+        ann_window=int(cfg.tpu.ann_window),
+        ann_probes=int(cfg.tpu.ann_probes),
+    )
+    return kw
+
+
+def prepare_codebook(cfg, codebook):
+    """Apply config-level codebook transforms (bf16 embedding table)."""
+    if bool(cfg.tpu.get("embeddings_bf16", False)):
+        codebook = codebook.astype_embeddings(jnp.bfloat16)
+    return codebook
 
 
 def codebook_path(obj_model: str) -> str:

@@ -102,7 +102,9 @@ def run_filter(
     renderer = common.make_renderer(cfg, mesh)
     tdn, tcn = common.make_nets(cfg, bg=renderer.get_background("gel"))
     pf = ParticleFilter.from_config(cfg, mesh)
-    codebook = Codebook.load(common.codebook_path(obj_model))
+    codebook = common.prepare_codebook(
+        cfg, Codebook.load(common.codebook_path(obj_model))
+    )
     step = FilterStep(
         pf, codebook, tdn=tdn, tcn=tcn, floor=1000, small_parts=small,
         **common.ann_kwargs(cfg, codebook),

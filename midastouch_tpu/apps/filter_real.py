@@ -118,7 +118,9 @@ def run_filter_real(cfg, viz=None, seed: int = 0, realtime: bool = True) -> dict
     renderer = common.make_renderer(cfg, mesh)
     tdn, tcn = common.make_nets(cfg, bg=renderer.get_background("gel"), real=True)
     pf = ParticleFilter.from_config(cfg, mesh, real=True)
-    codebook = Codebook.load(common.codebook_path(obj_model))
+    codebook = common.prepare_codebook(
+        cfg, Codebook.load(common.codebook_path(obj_model))
+    )
     step = FilterStep(pf, codebook, tdn=tdn, tcn=tcn, floor=10000, softmax=False,
                       **common.ann_kwargs(cfg, codebook))
 

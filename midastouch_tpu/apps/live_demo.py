@@ -105,8 +105,11 @@ def live_demo(cfg, source: str = "synthetic", max_frames: int | None = None,
         sims = knn.cosine_similarity(code, codebook.embeddings)
         peak_sims.append(float(jnp.max(sims)))
         if viz is not None:
+            # the reference heatmaps SOFTMAXED similarity over the whole
+            # codebook (live_demo.py:107-109), not raw cosine
+            heat = jax.nn.softmax(sims)
             viz.update_demo(frame, np.asarray(hm), np.asarray(mask),
-                            np.asarray(sims), np.asarray(codebook.t))
+                            np.asarray(heat), np.asarray(codebook.t))
         count += 1
     return peak_sims
 

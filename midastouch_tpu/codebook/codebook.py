@@ -193,7 +193,24 @@ class Codebook:
         # from_poses and load), so the matvec IS the cosine — recomputing
         # row norms here would double the per-step streaming over (M, E)
         qn = code / jnp.maximum(jnp.linalg.norm(code), 1e-12)
-        return self.embeddings @ qn
+        e = self.embeddings
+        # the matvec is HBM-bandwidth-bound on the (M, E) stream; a bf16
+        # table (see `astype_embeddings`) halves it. Accumulate in f32.
+        return jax.lax.dot_general(
+            e,
+            qn.astype(e.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def astype_embeddings(self, dtype) -> "Codebook":
+        """Copy with the embedding table cast (bf16 halves the per-step
+        similarity-matvec HBM stream; cosine quantization error ~0.4% is
+        below the filter's weighting noise floor — gated by the e2e
+        localization tests). Keys/poses stay f32."""
+        return dataclasses.replace(
+            self, embeddings=self.embeddings.astype(dtype)
+        )
 
     def get_poses(self):
         return self.q, self.t, self.cam_q, self.cam_t

@@ -53,6 +53,7 @@ class FilterStep:
         ann_top_cells: int = 8,
         ann_window: int = 4096,
         ann_probes: int = 3,
+        drift_from_codebook: bool = True,
     ):
         self.pf = pf
         self.codebook = codebook
@@ -66,6 +67,26 @@ class FilterStep:
         self.ann_top_cells = ann_top_cells
         self.ann_window = ann_window
         self.ann_probes = ann_probes
+        # drift gate from the xyz distance to each particle's codebook NN
+        # (already computed for weighting) instead of a second N x V kernel
+        # over the strided vertex table: the codebook samples the surface
+        # ~10x denser than the vertex table, and the gather of (N, 3) NN
+        # positions is shared with the all-drifted recovery branch
+        self.drift_from_codebook = drift_from_codebook
+        if drift_from_codebook:
+            # widen the gate on sparse codebooks: an on-surface particle is
+            # only as close to its NN entry as the codebook's own spacing
+            t = codebook.t[: min(1024, len(codebook))]
+            d2 = (
+                jnp.sum(t * t, 1)[:, None]
+                - 2.0 * (t @ codebook.t.T)
+                + jnp.sum(codebook.t * codebook.t, 1)[None, :]
+            )
+            d2 = jnp.where(d2 <= 1e-12, jnp.inf, d2)
+            spacing = jnp.quantile(jnp.sqrt(jnp.min(d2, axis=1)), 0.95)
+            self._drift_thresh = max(
+                float(pf.params.pen_max), 2.0 * float(spacing)
+            )
         # sim path softmaxes similarity weights (filter.py:172); the real
         # path uses raw cosine scores (filter_real.py:209)
         self.softmax = softmax
@@ -148,7 +169,16 @@ class FilterStep:
 
         # drift pruning + all-drifted re-projection (:176-179). The NN pose
         # gathers only happen on the (rare) all-drifted branch.
-        state, drifted = pf.remove_invalid_particles(state)
+        if self.drift_from_codebook:
+            nn_t = codebook.t[idx]
+            dist = jnp.linalg.norm(state.t - nn_t, axis=-1)
+            valid = dist <= self._drift_thresh
+            state = state._replace(
+                weights=state.weights * valid.astype(state.weights.dtype)
+            )
+            drifted = ~jnp.any(valid & state.alive)
+        else:
+            state, drifted = pf.remove_invalid_particles(state)
         q, t = jax.lax.cond(
             drifted,
             lambda: (codebook.q[idx], codebook.t[idx]),

@@ -237,77 +237,88 @@ def nn_search_windowed(
 ) -> jax.Array:
     """Approximate 1-NN via sorted-query tiles over contiguous key windows.
 
-    1. top-`probes` nearest Morton-ordered cells per query (dense matmul)
-    2. sort queries by primary cell — a tile of consecutive queries then
-       spans only a couple of cells
+    1. nearest curve-ordered cell per query (dense matmul + argmin)
+    2. ONE fused `lax.sort` by that cell carrying the query columns and
+       the original row id — a tile of consecutive queries then spans only
+       a couple of cells; no per-probe re-sorts, no post-sort gathers
     3. per tile: dynamic_slice a `window`-row band of the sorted key table
-       centred on the tile's median primary cell, plus one band per extra
-       probe centred on the tile's median k-th-nearest cell (the "seam
-       partner" — a 1-D Morton order of a 2-D surface has unavoidable
-       discontinuities, and the true NN beyond a seam lives near the
-       SECOND-nearest centroid's rows); exact argmin across all bands
-    4. unsort
+       centred on the tile's median cell, plus one band per extra probe
+       centred on that cell's "seam partner" — the centroid-nearest cell
+       whose rows lie OUTSIDE the bands already probed. A 1-D
+       space-filling order of a 2-D surface has unavoidable seams, and the
+       true NN beyond a seam lives near a spatially-close but row-distant
+       cell; that partner is a property of the CELL, so every query in the
+       tile shares it (computed per tile from the (B, d) centroid table —
+       a few hundred flops). Exact argmin across all bands, merged
+       in-tile.
+    4. unsort with a single (N,) int32 scatter keyed on the carried row id
 
-    All memory traffic is streaming; no row gathers. Measured on
-    shell-distributed keys (tests/test_ann.py): single-band recall
-    0.92-0.93; the two-band probe lifts it above 0.99 for ~2x the (tiny)
-    band cost — still far below the exact kernel's full-table sweep.
+    All bulk memory traffic is streaming; the only random access is the
+    final scatter. Earlier designs re-sorted the queries per probe (an
+    argsort each — measured 12 ms/extra probe at 50k on v5e) and used
+    per-QUERY second-nearest cells, which are incoherent within a tile
+    once sorted by primary cell; the cell-level partner restores the
+    multi-probe recall at tile-level cost.
     """
     n, d = queries.shape
     m = index.keys_sorted.shape[0]
     q = knn._pad_axis(queries.astype(jnp.float32), 0, tile, 0.0)
+    npad = q.shape[0]
 
     cent = index.centroids
+    b = cent.shape[0]
     cn = jnp.sum(cent * cent, axis=1)
-    cdist = cn[None, :] - 2.0 * (q @ cent.T)
-    nprobe = min(probes, cent.shape[0])
-    _, topcells = jax.lax.top_k(-cdist, nprobe)  # (Np, probes)
-    topcells = topcells.astype(jnp.int32)
+    cdist = cn[None, :] - 2.0 * (q @ cent.T)  # (Np, B)
+    cells = jnp.argmin(cdist, axis=1).astype(jnp.int32)
 
     w = min(window, m)
+    nprobe = min(probes, b)
+    # cells whose rank is within ±halo of a probed cell are already inside
+    # its window: exclude them when picking the next seam partner
+    halo = max(int(b * w / (2 * m)) + 1, 1)
 
-    def one_pass(cells):
-        """Sort queries by `cells`, band-search, unsort. Returns
-        (sorted-row argmin, min sqdist) per query in ORIGINAL order."""
-        order = jnp.argsort(cells)
-        q_sorted = q[order]
-        cells_sorted = cells[order]
+    # one sort, all payload carried as same-shape operands (no gathers)
+    iota = jnp.arange(npad, dtype=jnp.int32)
+    ops = jax.lax.sort(
+        (cells, iota, *(q[:, j] for j in range(d))), num_keys=1
+    )
+    cells_s = ops[0]
+    orig_id = ops[1]
+    q_s = jnp.stack(ops[2:], axis=1)  # (Np, d)
+    ranks = jnp.arange(b, dtype=jnp.int32)
 
-        def body(args):
-            qt, ct = args  # (tile, D), (tile,)
-            mid = ct[ct.shape[0] // 2]
-            start = jnp.clip(index.cell_start[mid] - w // 2, 0, m - w)
-            band = jax.lax.dynamic_slice(
-                index.keys_sorted, (start, 0), (w, d)
-            )
+    def body(args):
+        qt, ct = args  # (tile, d), (tile,)
+        mid = ct[tile // 2]
+        best_d = jnp.full((tile,), jnp.inf, jnp.float32)
+        best_i = jnp.zeros((tile,), jnp.int32)
+        # distance of every cell to the tile's cell, for partner picking
+        cd = jnp.sum((cent - cent[mid]) ** 2, axis=1)  # (B,)
+        covered = jnp.abs(ranks - mid) <= halo
+        cell_p = mid
+        for p in range(nprobe):
+            start = jnp.clip(index.cell_start[cell_p] - w // 2, 0, m - w)
+            band = jax.lax.dynamic_slice(index.keys_sorted, (start, 0), (w, d))
             bn = jnp.sum(band * band, axis=1)
             dist = bn[None, :] - 2.0 * (qt @ band.T)
-            return (
-                start + jnp.argmin(dist, axis=1).astype(jnp.int32),
-                jnp.min(dist, axis=1),
-            )
+            dmin = jnp.min(dist, axis=1)
+            imin = start + jnp.argmin(dist, axis=1).astype(jnp.int32)
+            better = dmin < best_d
+            best_d = jnp.where(better, dmin, best_d)
+            best_i = jnp.where(better, imin, best_i)
+            if p + 1 < nprobe:
+                cell_p = jnp.argmin(
+                    jnp.where(covered, jnp.inf, cd)
+                ).astype(jnp.int32)
+                covered = covered | (jnp.abs(ranks - cell_p) <= halo)
+        return best_i
 
-        ntiles = q_sorted.shape[0] // tile
-        idx_s, dist_s = jax.lax.map(
-            body,
-            (
-                q_sorted.reshape(ntiles, tile, d),
-                cells_sorted.reshape(ntiles, tile),
-            ),
-        )
-        idx_s, dist_s = idx_s.reshape(-1), dist_s.reshape(-1)
-        inv = jnp.zeros_like(idx_s).at[order].set(idx_s)
-        dinv = jnp.zeros_like(dist_s).at[order].set(dist_s)
-        return inv, dinv
-
-    best_idx, best_dist = one_pass(topcells[:, 0])
-    for p in range(1, nprobe):
-        idx_p, dist_p = one_pass(topcells[:, p])
-        improved = dist_p < best_dist
-        best_idx = jnp.where(improved, idx_p, best_idx)
-        best_dist = jnp.where(improved, dist_p, best_dist)
-
-    return index.perm[best_idx[:n]]
+    ntiles = npad // tile
+    idx_s = jax.lax.map(
+        body, (q_s.reshape(ntiles, tile, d), cells_s.reshape(ntiles, tile))
+    ).reshape(-1)
+    out = jnp.zeros(npad, jnp.int32).at[orig_id].set(idx_s)
+    return index.perm[out[:n]]
 
 
 @functools.partial(jax.jit, static_argnames=("top_cells", "chunk", "backend"))

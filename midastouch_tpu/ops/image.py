@@ -128,6 +128,61 @@ def scale_to_unit(points: jax.Array) -> jax.Array:
     return 2.0 * (points - mn) / jnp.maximum(mx - mn, 1e-12) - 1.0
 
 
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w", "crop_px"))
+def canonicalize_patch(
+    hm: jax.Array,  # (H, W) gel-frame heightmap, px units (>=0 at contact)
+    mask: jax.Array,  # (H, W) bool contact mask
+    out_h: int = 32,
+    out_w: int = 32,
+    crop_px: float = 160.0,
+) -> jax.Array:
+    """Yaw/translation-canonical contact patch.
+
+    The codebook samples touch poses with RANDOM yaw
+    (pose_from_vertex_normal, reference modules/pose.py:375-455), so two
+    touches at the same surface point generically differ by an in-plane
+    rotation — appearance-space retrieval must either learn yaw invariance
+    (the training data never teaches it) or remove the nuisance DOF. This
+    removes it geometrically:
+
+      1. depth-weighted centroid + principal axis of the contact patch
+         (2nd image moments), 180-degree-disambiguated by the sign of the
+         3rd moment (skewness) along the axis,
+      2. bilinear resample of the masked penetration image on a grid
+         centred on the centroid and aligned to the axis
+         (`crop_px` x `crop_px` input pixels -> (out_h, out_w)).
+
+    Returns the canonical patch (out_h, out_w), zero outside the contact.
+    Nearly-isotropic or skew-free patches keep an ambiguous axis — callers
+    that need full invariance can embed both 180-degree variants.
+    """
+    h, w = hm.shape
+    z = jnp.maximum(hm, 0.0) * mask.astype(hm.dtype)
+    total = jnp.maximum(jnp.sum(z), 1e-6)
+    ys, xs = jnp.mgrid[0:h, 0:w].astype(hm.dtype)
+    cy = jnp.sum(z * ys) / total
+    cx = jnp.sum(z * xs) / total
+    dy, dx = ys - cy, xs - cx
+    mu20 = jnp.sum(z * dx * dx) / total
+    mu02 = jnp.sum(z * dy * dy) / total
+    mu11 = jnp.sum(z * dx * dy) / total
+    theta = 0.5 * jnp.arctan2(2.0 * mu11, mu20 - mu02)
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    # skewness along the principal axis fixes the 180-degree flip
+    proj = dx * c + dy * s
+    skew = jnp.sum(z * proj**3)
+    c, s = jnp.where(skew < 0, -c, c), jnp.where(skew < 0, -s, s)
+
+    u = (jnp.arange(out_w, dtype=hm.dtype) / (out_w - 1) - 0.5) * crop_px
+    v = (jnp.arange(out_h, dtype=hm.dtype) / (out_h - 1) - 0.5) * crop_px
+    uu, vv = jnp.meshgrid(u, v)
+    sample_x = cx + uu * c - vv * s
+    sample_y = cy + uu * s + vv * c
+    return jax.scipy.ndimage.map_coordinates(
+        z, [sample_y, sample_x], order=1, mode="constant", cval=0.0
+    )
+
+
 def blend_heightmaps(window: jax.Array) -> jax.Array:
     """Exponentially-weighted blend over a stack (k, H, W) of recent
     heightmaps, newest last (reference tdn.py:60-92)."""

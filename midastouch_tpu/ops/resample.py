@@ -9,6 +9,7 @@ searchsorted on-device, O(N log N), which XLA vectorizes.
 from __future__ import annotations
 
 import functools
+from math import gcd as _gcd
 
 import jax
 import jax.numpy as jnp
@@ -80,9 +81,18 @@ def systematic_resample(
     # The run-length construction emits draws SORTED by parent index; any
     # prefix of that is a spatially biased subsample, which breaks the
     # fixed-capacity filter's alive-prefix masking when annealing shrinks
-    # the population. A random output permutation (one int32 gather)
-    # restores exchangeability.
-    return idx[jax.random.permutation(k_perm, num_samples)]
+    # the population. A coprime-stride spread with a random rotation
+    # restores prefix-exchangeability: every parent's run is distributed
+    # evenly over the output, so any prefix holds ~proportional mass from
+    # each parent. (jax.random.permutation would sort N random keys — an
+    # argsort-sized cost, ~1 ms at 50k on v5e — for no statistical gain
+    # the filter can see.)
+    stride = max(int(round(num_samples * 0.6180339887)), 1)
+    while _gcd(stride, num_samples) != 1:
+        stride += 1
+    r = jax.random.randint(k_perm, (), 0, num_samples)
+    pos = (jnp.arange(num_samples, dtype=jnp.int32) * stride + r) % num_samples
+    return idx[pos]
 
 
 def resample_indices(

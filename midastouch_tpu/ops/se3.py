@@ -457,6 +457,28 @@ def transform_points(T: jax.Array, points: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def particle_rmse_quat(
+    q: jax.Array,
+    t: jax.Array,
+    gt_q: jax.Array,
+    gt_t: jax.Array,
+    mask: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """`particle_rmse` on quaternion poses without materializing (N,3,3)
+    rotation matrices: the geodesic angle between unit quaternions is
+    2*acos(|<q1,q2>|) — one (N,4) dot instead of a batched 3x3 matmul
+    chain (the fused filter step calls this every frame at N=50k+)."""
+    if mask is None:
+        mask = jnp.ones(t.shape[0], dtype=t.dtype)
+    msum = jnp.maximum(jnp.sum(mask), 1.0)
+    e_t = jnp.linalg.norm(gt_t - t, axis=-1)
+    dot = jnp.clip(jnp.abs(jnp.sum(q * gt_q[None, :], axis=-1)), 0.0, 1.0)
+    ang = jnp.degrees(2.0 * jnp.arccos(dot))  # [0, 180], pre-wrapped
+    rmse_t = jnp.sqrt(jnp.sum(mask * e_t**2) / msum)
+    rmse_r = jnp.sqrt(jnp.sum(mask * ang**2) / msum)
+    return rmse_t, rmse_r
+
+
 def particle_rmse(
     poses_R: jax.Array,
     poses_t: jax.Array,

@@ -39,7 +39,12 @@ def main():
     pf = ParticleFilter(
         params=FilterParams(init_trans_noise=mesh.scale / 3.0, cluster_subsample=1024),
         mesh_vertices=jnp.asarray(mesh.downsampled_vertices(1)), mesh_scale=mesh.scale)
-    step = FilterStep(pf, cb, floor=1000)
+    # production-default fast path: windowed ANN + bf16 embeddings +
+    # codebook-NN drift gate (this run IS the accuracy gate for them)
+    ann_index = cb.build_ann_index(kind="windowed")
+    cb_fast = cb.astype_embeddings(jnp.bfloat16)
+    step = FilterStep(pf, cb_fast, floor=1000, ann_index=ann_index,
+                      ann_window=2048, ann_probes=2, drift_from_codebook=True)
 
     # smooth great-circle slide, ~0.8 mm/frame
     u = np.array([1.0, 0, 0]); v = np.array([0.0, np.cos(0.4), np.sin(0.4)])

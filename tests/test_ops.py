@@ -172,3 +172,39 @@ def test_blend_heightmaps():
     out = np.asarray(image.blend_heightmaps(stack))
     # newest frame dominates
     assert 0.5 < out[0, 0] < 1.0
+
+
+def _asym_patch(h=240, w=320, cx=160.0, cy=120.0, yaw=0.0):
+    """Asymmetric two-bump contact patch rotated by `yaw` about (cx, cy)."""
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    c, s = np.cos(yaw), np.sin(yaw)
+    u = (xs - cx) * c + (ys - cy) * s
+    v = -(xs - cx) * s + (ys - cy) * c
+    hm = 30.0 * np.exp(-((u - 25) ** 2 + v**2) / 300.0) + 18.0 * np.exp(
+        -((u + 18) ** 2 + (v - 10) ** 2) / 150.0
+    )
+    return hm.astype(np.float32), hm > 2.0
+
+
+def test_canonicalize_patch_yaw_and_translation_invariant():
+    """The canonical patch must be (approximately) invariant to the touch's
+    in-plane yaw and image translation — the nuisance DOFs of random-yaw
+    codebook sampling (pose_from_vertex_normal)."""
+    hm0, m0 = _asym_patch(yaw=0.0)
+    p0 = np.asarray(image.canonicalize_patch(jnp.asarray(hm0), jnp.asarray(m0)))
+    assert p0.shape == (32, 32) and p0.max() > 1.0
+    for yaw, cx, cy in ((0.8, 160, 120), (2.4, 190, 100), (-1.2, 140, 135)):
+        hm, m = _asym_patch(cx=cx, cy=cy, yaw=yaw)
+        p = np.asarray(image.canonicalize_patch(jnp.asarray(hm), jnp.asarray(m)))
+        # correlation-level agreement (bilinear resampling blurs edges)
+        a, b = p0.ravel(), p.ravel()
+        corr = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert corr > 0.98, f"yaw={yaw}: canonical corr {corr:.3f}"
+
+
+def test_canonicalize_patch_empty_mask_is_finite():
+    hm = np.zeros((240, 320), np.float32)
+    p = np.asarray(
+        image.canonicalize_patch(jnp.asarray(hm), jnp.asarray(hm > 1))
+    )
+    assert np.all(np.isfinite(p)) and p.max() == 0.0
