@@ -234,6 +234,22 @@ def run_filter(
                 flush=True,
             )
 
+        # live status line (reference filter.py:201-205: rate / rmse /
+        # sigma / particle count). Throttled to every 10th frame so the
+        # async dispatch loop only syncs a handful of scalars.
+        if viz is None and count % 10 == 0:
+            dt10 = (
+                np.mean(frame_wall[-10:]) if frame_wall else float("nan")
+            )
+            print(
+                f"rate: {1.0/max(dt10,1e-9):.2f} Hz | "
+                f"rmse: {1000*float(sstats.rmse_t):.2f} mm, "
+                f"{float(sstats.rmse_r):.2f} deg | "
+                f"avg sigma: {1000*float(sstats.mean_std):.2f} mm | "
+                f"particles: {int(sstats.n_active)} | frame {idx}/{traj_size}",
+                flush=True,
+            )
+
         # one sync per frame keeps the replay clock honest without pulling
         # every statistic (realtime indexing needs a wall-clock estimate)
         if realtime:

@@ -139,9 +139,15 @@ def images_to_video(image_dir: str, out_name: str = "results.mp4", fps: int = 10
     if not names:
         return None
     out = os.path.join(image_dir, out_name)
-    with imageio.get_writer(out, fps=fps) as w:
-        for n in names:
-            w.append_data(imageio.imread(os.path.join(image_dir, n)))
+    try:
+        with imageio.get_writer(out, fps=fps) as w:
+            for n in names:
+                w.append_data(imageio.imread(os.path.join(image_dir, n)))
+    except (ValueError, ImportError) as e:
+        # no mp4 backend in this environment: keep the per-frame PNGs
+        # (the reference piped through a system ffmpeg, misc.py:303-331)
+        print(f"[viz] video writer unavailable ({e}); frames kept as PNGs")
+        return None
     return out
 
 

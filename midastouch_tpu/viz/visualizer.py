@@ -32,6 +32,30 @@ class Viz:
         self.obj_model = obj_model
         self.mesh = mesh
         self.fig = self.plt.figure(figsize=(12, 5))
+        # viz-resolution vertex/face subsample for the interpolated heatmap
+        v = np.asarray(mesh.vertices)
+        f = np.asarray(getattr(mesh, "faces", None))
+        self._viz_faces = None
+        if f is not None and len(f):
+            keep = max(len(f) // 1500, 1)
+            self._viz_faces = f[::keep]
+        self._viz_vertices = v
+
+    @staticmethod
+    def _ellipsoid_wire(center, R, radii, n=10):
+        """Wireframe ellipsoid (reference visualizer.py:393-402 draws
+        pyvista ParametricEllipsoids per cluster; same geometry here)."""
+        u = np.linspace(0, 2 * np.pi, n)
+        v = np.linspace(0, np.pi, n)
+        xyz = np.stack(
+            [
+                np.outer(np.cos(u), np.sin(v)) * radii[0],
+                np.outer(np.sin(u), np.sin(v)) * radii[1],
+                np.outer(np.ones_like(u), np.cos(v)) * radii[2],
+            ],
+            axis=-1,
+        )
+        return xyz @ R.T + center
 
     def update(
         self,
@@ -60,6 +84,35 @@ class Viz:
         pts = t[alive][: self.max_drawn]
         ax.scatter(*pts.T, s=2, c="tab:blue", alpha=0.6, label="particles")
         ax.scatter(*gt_pose[:3, 3], s=60, c="tab:red", marker="*", label="gt")
+
+        # cluster ellipsoids at 2 sigma (reference visualizer.py:393-402)
+        if cluster_poses is not None and cluster_stds is not None:
+            cp = np.asarray(cluster_poses)
+            cs = np.asarray(cluster_stds)
+            for k in range(len(cp)):
+                radii = 2.0 * cs[k]
+                if not np.all(np.isfinite(radii)) or radii.max() <= 0:
+                    continue
+                wire = self._ellipsoid_wire(cp[k, :3, 3], cp[k, :3, :3], radii)
+                ax.plot_wireframe(
+                    wire[..., 0], wire[..., 1], wire[..., 2],
+                    color="tab:orange", linewidth=0.4, alpha=0.5,
+                )
+            # sensor ghost at the best cluster: gel footprint + normal
+            # (reference draws the DIGIT CAD, visualizer.py:111-113; no CAD
+            # asset here, so a wireframe gel plate marks pose + heading)
+            best = cp[0]
+            hx, hy = 0.012, 0.016
+            corners = np.array(
+                [[-hx, -hy, 0], [hx, -hy, 0], [hx, hy, 0], [-hx, hy, 0],
+                 [-hx, -hy, 0]]
+            )
+            plate = corners @ best[:3, :3].T + best[:3, 3]
+            ax.plot(*plate.T, c="tab:green", linewidth=1.0, alpha=0.9)
+            tip = best[:3, 3] + best[:3, 2] * 0.01
+            ax.plot(*np.stack([best[:3, 3], tip]).T, c="tab:green",
+                    linewidth=1.0, alpha=0.9)
+
         ax.set_title(f"{self.obj_model} frame {frame}")
         ax.set_axis_off()
         ax.legend(loc="upper right", fontsize=7)
@@ -76,14 +129,35 @@ class Viz:
         ax5.set_title("heightmap (contact)")
         ax5.axis("off")
 
-        # pane 3: codebook similarity heatmap (top weights on the surface)
+        # pane 3: codebook similarity heatmap interpolated onto the mesh
+        # (reference visualizer.py:424-449: top-40%ile weights -> mesh)
         ax3 = fig.add_subplot(1, 3, 3, projection="3d")
         if codebook_positions is not None:
-            w = np.asarray(heatmap_weights)
-            thresh = np.quantile(w, 0.6)  # top-40%ile (visualizer.py:424-449)
-            keep = w >= thresh
-            p = np.asarray(codebook_positions)[keep]
-            ax3.scatter(*p.T, s=2, c=w[keep], cmap="inferno")
+            w = np.asarray(heatmap_weights).astype(np.float64)
+            thresh = np.quantile(w, 0.6)
+            wf = np.where(w >= thresh, w, thresh)  # floor below 60%ile
+            p = np.asarray(codebook_positions)
+            if self._viz_faces is not None:
+                from sklearn.neighbors import NearestNeighbors
+
+                if not hasattr(self, "_vert_nn"):
+                    # vertex -> nearest codebook entry, built once
+                    nn = NearestNeighbors(n_neighbors=1).fit(p)
+                    self._vert_nn = nn.kneighbors(
+                        self._viz_vertices, return_distance=False
+                    )[:, 0]
+                vw = wf[self._vert_nn]
+                fw = vw[self._viz_faces].mean(axis=1)
+                fw = (fw - fw.min()) / max(fw.max() - fw.min(), 1e-12)
+                cmap = self.plt.get_cmap("inferno")
+                tri = ax3.plot_trisurf(
+                    *self._viz_vertices.T, triangles=self._viz_faces,
+                    linewidth=0, antialiased=False, shade=False,
+                )
+                tri.set_facecolor(cmap(fw))
+            else:
+                keep = w >= thresh
+                ax3.scatter(*p[keep].T, s=2, c=w[keep], cmap="inferno")
         ax3.set_title("codebook heatmap")
         ax3.set_axis_off()
 

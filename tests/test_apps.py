@@ -12,6 +12,8 @@ import pytest
 from midastouch_tpu.utils import misc
 from midastouch_tpu.utils.config import compose
 
+pytestmark = pytest.mark.slow  # sequential integration pipeline (shared workspace)
+
 OVERRIDES = [
     "expt=test",
     "expt.obj_model=sphere",

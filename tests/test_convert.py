@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -215,6 +216,7 @@ class _TorchFCRN(torch.nn.Module):
         return sd
 
 
+@pytest.mark.slow
 def test_convert_fcrn_full_network_numeric_parity():
     """End-to-end converter proof: a reference-architecture torch FCRN
     with random weights and the converted Flax FCRN produce the same
@@ -245,6 +247,7 @@ def test_convert_fcrn_full_network_numeric_parity():
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_convert_fcrn_structure_matches_flax_init():
     rng = np.random.default_rng(1)
     sd = _random_torch_fcrn_state_dict(rng)

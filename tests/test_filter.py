@@ -200,6 +200,7 @@ def _smooth_embedding(keys: np.ndarray, dim: int = 32, seed: int = 3):
     return feats.astype(np.float32)
 
 
+@pytest.mark.slow
 def test_end_to_end_localization_synthetic():
     """The 'minimum slice' integration test (SURVEY.md section 7.3): full
     sense-update loop on a sphere with a synthetic codebook, no networks.
@@ -286,6 +287,7 @@ def test_end_to_end_localization_synthetic():
 
 
 @pytest.mark.parametrize("kind", ["bucketed", "windowed"])
+@pytest.mark.slow
 def test_end_to_end_localization_with_ann(kind):
     """Same synthetic localization but through an approximate codebook NN
     (bucketed gathers / gather-free windowed) — must converge equivalently

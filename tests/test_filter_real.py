@@ -45,6 +45,7 @@ def test_extract_poses_real(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_run_filter_real_smoke(tmp_path, monkeypatch):
     """End-to-end filter_real on synthetic OptiTrack-style data."""
     import jax.numpy as jnp

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from midastouch_tpu.models.fcrn import FCRN, depth_to_space
 from midastouch_tpu.models.params_io import load_variables, save_variables
@@ -16,6 +17,7 @@ def test_depth_to_space_ordering():
     np.testing.assert_array_equal(out, [[0, 1], [2, 3]])
 
 
+@pytest.mark.slow
 def test_fcrn_forward_shapes():
     model = FCRN(layers=(1, 1, 1, 1), out_size=(80, 60))
     x = jnp.zeros((2, 80, 60, 3))
@@ -27,6 +29,7 @@ def test_fcrn_forward_shapes():
     assert feat.shape == (2, 3, 2, 1024)
 
 
+@pytest.mark.slow
 def test_fcrn_train_mode_updates_stats():
     model = FCRN(layers=(1, 1, 1, 1), out_size=(64, 64))
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
@@ -38,6 +41,7 @@ def test_fcrn_train_mode_updates_stats():
     assert "batch_stats" in mutated
 
 
+@pytest.mark.slow
 def test_params_io_roundtrip(tmp_path):
     model = FCRN(layers=(1, 1, 1, 1), out_size=(64, 64))
     x = jnp.zeros((1, 64, 64, 3))
@@ -88,6 +92,7 @@ def test_voxelfpn_permutation_invariant():
     np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_tdn_tcn_drivers_end_to_end():
     """Untrained nets through the full drivers on a small config."""
     from midastouch_tpu.models.tcn import TCN
@@ -171,6 +176,7 @@ def test_tcn_sensor_frame_scaling_preserves_depth_signal():
     assert z.max() - z.min() > 0.2
 
 
+@pytest.mark.slow
 def test_heightmap_fpn_tcn():
     """2-D backbone path through the driver + trainer step."""
     import optax

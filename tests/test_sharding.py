@@ -28,6 +28,7 @@ def test_mesh_has_8_devices():
     assert mesh.devices.size == 8
 
 
+@pytest.mark.slow
 def test_sharded_update_matches_unsharded(tiny):
     step, state, code, odom_q, odom_t, gt_pose, key = tiny
     mesh = make_device_mesh(8)

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import optax
 
 from midastouch_tpu.models.fcrn import FCRN
@@ -10,6 +11,7 @@ from midastouch_tpu.train.train_tcn import batch_hard_triplet_loss, pose_masks
 from midastouch_tpu.train.train_tdn import make_train_step
 
 
+@pytest.mark.slow
 def test_tdn_train_step_reduces_loss():
     model = FCRN(layers=(1, 1, 1, 1), out_size=(64, 48))
     tx = optax.adam(1e-3)
