@@ -22,7 +22,11 @@ from midastouch_tpu.utils.config import compose
 
 
 def top_n_error(
-    codebook: Codebook, n: int = 25, chunk: int = 512, seed: int = 0
+    codebook: Codebook,
+    n: int = 25,
+    chunk: int = 512,
+    seed: int = 0,
+    return_errors: bool = False,
 ) -> dict:
     emb = codebook.embeddings  # (M, E) already L2-normalized
     pos = np.asarray(codebook.t)
@@ -52,7 +56,7 @@ def top_n_error(
     j = rng.integers(0, m, 4000)
     pair_cos = np.sum(emb_np[i] * emb_np[j], axis=1)
 
-    return {
+    out = {
         "median_normalized_error": float(np.median(normalized)),
         "mean_normalized_error": float(np.mean(normalized)),
         "mean_error_m": float(np.mean(errors)),
@@ -62,12 +66,83 @@ def top_n_error(
         "n": n,
         "codebook_size": m,
     }
+    if return_errors:
+        out["normalized_errors"] = normalized
+    return out
+
+
+def benchmark_embeddings(
+    objects: list[str],
+    n: int = 25,
+    out_png: str | None = None,
+    out_json: str | None = None,
+) -> dict:
+    """Per-object single-touch benchmark with violin plots (reference
+    eval/single_touch_test.py:92-278): loads each object's codebook,
+    scores the normalized top-`n` error distribution, and renders one
+    violin per object."""
+    import json
+
+    from midastouch_tpu.apps import common
+
+    results, dists = {}, {}
+    for obj in objects:
+        path = common.codebook_path(obj)
+        try:
+            cb = Codebook.load(path)
+        except FileNotFoundError:
+            print(f"[single_touch] no codebook for {obj} ({path}); skipped")
+            continue
+        r = top_n_error(cb, n=n, return_errors=True)
+        dists[obj] = r.pop("normalized_errors")
+        results[obj] = r
+        print(
+            f"{obj:16s} median={r['median_normalized_error']:.3f} "
+            f"mean={r['mean_normalized_error']:.3f} (M={r['codebook_size']})"
+        )
+
+    if dists and out_png:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(2 + 1.2 * len(dists), 4))
+        ax.violinplot(
+            [dists[o] for o in dists], showmedians=True, showextrema=False
+        )
+        ax.axhline(1.0, color="gray", linestyle="--", linewidth=0.8,
+                   label="random retrieval")
+        ax.set_xticks(range(1, len(dists) + 1), list(dists), rotation=30)
+        ax.set_ylabel(f"top-{n} normalized pose error")
+        ax.set_title("single-touch localization by object")
+        ax.legend(fontsize=8)
+        fig.tight_layout()
+        fig.savefig(out_png, dpi=120)
+        plt.close(fig)
+        print(f"violin plot -> {out_png}")
+    if out_json:
+        with open(out_json, "w") as fh:
+            json.dump(results, fh, indent=2)
+    return results
 
 
 def main(argv=None):
+    """Single object: `... expt.obj_model=potato`. Multi-object driver with
+    violins (reference single_touch_test.py:207-278):
+    `... objects=potato,rock [out=single_touch.png]`."""
     from midastouch_tpu.apps import common
 
-    cfg = compose(argv if argv is not None else sys.argv[1:])
+    argv = argv if argv is not None else sys.argv[1:]
+    kv = dict(a.split("=", 1) for a in argv if "=" in a)
+    if "objects" in kv:
+        benchmark_embeddings(
+            kv["objects"].split(","),
+            out_png=kv.get("out", "single_touch_violins.png"),
+            out_json=kv.get("out_json"),
+        )
+        return
+    cfg = compose(argv)
     cb = Codebook.load(common.codebook_path(str(cfg.expt.obj_model)))
     out = top_n_error(cb)
     print(out)

@@ -83,12 +83,23 @@ def _pixel_dirs(width: int, height: int, focal_px: float) -> np.ndarray:
 
 
 def cull_faces(
-    tri: jax.Array, centroids: jax.Array, tip: jax.Array, k: int
+    tri: jax.Array,
+    centroids: jax.Array,
+    tip: jax.Array,
+    k: int,
+    radii: jax.Array | None = None,
 ) -> jax.Array:
     """Gather the k triangles nearest the sensor tip point. Far triangles
-    are padded out by the top-k itself (they simply never intersect)."""
-    d2 = jnp.sum((centroids - tip[None, :]) ** 2, axis=1)
-    _, idx = jax.lax.top_k(-d2, min(k, tri.shape[0]))
+    are padded out by the top-k itself (they simply never intersect).
+
+    `radii` (per-face circumradius around the centroid) makes the ranking
+    conservative for LARGE triangles — on decimated meshes a face whose
+    centroid is far can still pass under the gel; ranking by
+    (centroid distance - radius) lower-bounds the true surface distance."""
+    d = jnp.sqrt(jnp.sum((centroids - tip[None, :]) ** 2, axis=1))
+    if radii is not None:
+        d = jnp.maximum(d - radii, 0.0)
+    _, idx = jax.lax.top_k(-d, min(k, tri.shape[0]))
     return tri[idx]
 
 
@@ -151,13 +162,14 @@ def raycast_depth(
     ray_chunk: int,
     max_faces: int,
     use_pallas: bool = False,
+    radii: jax.Array | None = None,
 ) -> jax.Array:
     """Depth map (H, W) in meters along -z for one camera pose (4,4).
     Rays beyond the gel plane clamp to `cam_dist` (the flat-gel background,
     digit_renderer.py:59-62)."""
     R, o = cam_pose[:3, :3], cam_pose[:3, 3]
     tip = o + R @ jnp.array([0.0, 0.0, -cam_dist], dtype=cam_pose.dtype)
-    tri_near = cull_faces(tri, centroids, tip, max_faces)
+    tri_near = cull_faces(tri, centroids, tip, max_faces, radii=radii)
 
     M, b = _woop_transforms(tri_near)  # (K,3,3), (K,3) — once per pose
     o_bary = (M @ o[None, :, None])[..., 0] + b  # (K, 3)
@@ -196,19 +208,73 @@ def raycast_depth(
     return jnp.minimum(t.reshape(height, width), cam_dist)
 
 
+DEFAULT_LIGHT_ANGLES = np.array([90.0, 210.0, 330.0], np.float32)
+DEFAULT_LIGHT_RGB = np.array(
+    [[0.95, 0.15, 0.15], [0.15, 0.95, 0.15], [0.2, 0.2, 0.95]], np.float32
+)
+
+
+def make_backgrounds(
+    key: jax.Array, height: int, width: int, n: int = 30
+) -> jax.Array:
+    """Procedural DIGIT background library (n, H, W, 3) in [0,1].
+
+    The reference composites renders over one of 30 captured sensor
+    background photos chosen at random (digit_renderer.py:45-47). No image
+    assets exist in this environment, so the library is synthesized with
+    the statistics that matter for TDN robustness: per-unit LED color
+    vignettes, smooth low-frequency mottling, and sensor noise.
+    """
+    ys, xs = jnp.mgrid[0:height, 0:width].astype(jnp.float32)
+    yy = ys / (height - 1) - 0.5
+    xx = xs / (width - 1) - 0.5
+    r2 = xx**2 + yy**2
+
+    def one(k):
+        k1, k2, k3, k4, k5 = jax.random.split(k, 5)
+        base = 0.14 + 0.10 * jax.random.uniform(k1, ())
+        vign = 1.0 - (0.5 + 0.7 * jax.random.uniform(k2, ())) * r2
+        # LED color gradients from ring directions (jittered per unit)
+        ang = jnp.radians(
+            jnp.asarray(DEFAULT_LIGHT_ANGLES)
+            + jax.random.normal(k3, (3,)) * 12.0
+        )
+        grad = 0.5 + 0.5 * (
+            xx[..., None] * jnp.cos(ang) + yy[..., None] * jnp.sin(ang)
+        )  # (H, W, 3)
+        tint = jnp.einsum(
+            "hwl,lc->hwc",
+            grad,
+            jnp.asarray(DEFAULT_LIGHT_RGB)
+            * (0.8 + 0.4 * jax.random.uniform(k4, (3, 1))),
+        )
+        coarse = jax.random.normal(k5, (6, 8, 3)) * 0.02
+        mottle = jax.image.resize(coarse, (height, width, 3), "bilinear")
+        return jnp.clip(base * vign[..., None] * (1.0 + tint) + mottle, 0, 1)
+
+    return jax.vmap(one)(jax.random.split(key, n))
+
+
 def shade_rgb(
     heightmap_px: jax.Array,
     contact_mask: jax.Array,
     pixmm: float,
     light_scale: jax.Array | float = 1.0,
     bg_level: float = 0.35,
+    light_angles_deg: jax.Array | None = None,
+    light_rgb: jax.Array | None = None,
+    background: jax.Array | None = None,
+    shadows: bool = True,
 ) -> jax.Array:
     """Phong-lit tactile RGB (H, W, 3) float in [0,1] from a gel heightmap.
 
     DIGIT's three LEDs sit on a ring around the gel; tacto shades the gel
-    surface with per-light Phong + shadows (digit_renderer.py:149-162).
-    Here: surface normals from the heightmap gradient, three directional
-    colored lights at 120 degrees, Lambert + specular, flat background.
+    surface with per-light Phong + shadow maps and randomizes light
+    position/color per render (digit_renderer.py:149-162,
+    config_digit_shadow). Here: surface normals from the heightmap
+    gradient, three directional colored lights (angles/colors overridable
+    per render), Lambert + specular, a screen-space horizon shadow term,
+    composited over a background image (see `make_backgrounds`).
     """
     h_m = heightmap_px * (pixmm / 1000.0)
     gy, gx = jnp.gradient(h_m)
@@ -217,7 +283,11 @@ def shade_rgb(
     n = jnp.stack([-gx / pitch, -gy / pitch, jnp.ones_like(gx)], axis=-1)
     n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
 
-    angles = jnp.array([90.0, 210.0, 330.0]) * jnp.pi / 180.0
+    if light_angles_deg is None:
+        light_angles_deg = jnp.asarray(DEFAULT_LIGHT_ANGLES)
+    if light_rgb is None:
+        light_rgb = jnp.asarray(DEFAULT_LIGHT_RGB)
+    angles = jnp.radians(light_angles_deg)
     elev = jnp.radians(25.0)
     light_dirs = jnp.stack(
         [
@@ -227,17 +297,45 @@ def shade_rgb(
         ],
         axis=-1,
     )  # (3, 3)
-    light_rgb = jnp.array(
-        [[0.95, 0.15, 0.15], [0.15, 0.95, 0.15], [0.2, 0.2, 0.95]]
-    )
 
     lam = jnp.maximum(jnp.einsum("hwc,lc->hwl", n, light_dirs), 0.0)
+
+    if shadows:
+        # screen-space horizon shadows: a pixel is occluded from light l if
+        # the surface `d` pixels TOWARD the light rises faster than the
+        # light's elevation slope (tacto renders true shadow maps; this is
+        # the heightfield equivalent at a few fixed sample distances)
+        h_px_m = h_m  # (H, W)
+        ys, xs = jnp.mgrid[0 : h_m.shape[0], 0 : h_m.shape[1]].astype(
+            jnp.float32
+        )
+        tan_e = jnp.tan(elev)
+        occ = []
+        for li in range(3):
+            dx = jnp.cos(angles[li])
+            dy = -jnp.sin(angles[li])  # image y grows downward
+            o = jnp.zeros_like(h_m)
+            for d in (2.0, 5.0, 10.0, 20.0):
+                hs = jax.scipy.ndimage.map_coordinates(
+                    h_px_m, [ys + dy * d, xs + dx * d], order=1,
+                    mode="nearest",
+                )
+                o = jnp.maximum(o, hs - h_px_m - d * pitch * tan_e)
+            occ.append(o)
+        occ = jnp.stack(occ, axis=-1)  # (H, W, 3)
+        shadow = jax.nn.sigmoid(-occ / (0.5 * pitch))  # soft penumbra
+        lam = lam * (0.25 + 0.75 * shadow)
+
     view = jnp.array([0.0, 0.0, 1.0])
     half = light_dirs + view
     half = half / jnp.linalg.norm(half, axis=-1, keepdims=True)
     spec = jnp.maximum(jnp.einsum("hwc,lc->hwl", n, half), 0.0) ** 32
 
-    rgb = bg_level * 0.5 + jnp.einsum("hwl,lc->hwc", lam, light_rgb) * 0.55
+    if background is None:
+        base = jnp.full(h_m.shape + (3,), bg_level * 0.5)
+    else:
+        base = background
+    rgb = base + jnp.einsum("hwl,lc->hwc", lam, light_rgb) * 0.55
     rgb = rgb + jnp.einsum("hwl,lc->hwc", spec, light_rgb) * 0.25
     return jnp.clip(rgb * light_scale, 0.0, 1.0)
 
@@ -272,6 +370,27 @@ class DigitRenderer:
         self._key = jax.random.PRNGKey(seed)
         self.tri = jnp.asarray(mesh.triangles)
         self.centroids = jnp.asarray(mesh.triangles.mean(axis=1))
+        # per-face circumradius for the conservative cull (large decimated
+        # triangles must not be dropped by centroid distance alone)
+        self.radii = jnp.asarray(
+            np.linalg.norm(
+                mesh.triangles - mesh.triangles.mean(axis=1, keepdims=True),
+                axis=-1,
+            ).max(axis=1)
+        )
+        # auto-scale the cull budget to the sensor's view disk: the FOV
+        # reaches cam_dist * tan(diag half-angle) from the tip, and a dense
+        # mesh needs every face inside that disk (cfg.max_faces is a FLOOR;
+        # on >50k-face meshes 1024 nearest faces provably miss in-contact
+        # geometry — see tests/test_renderer.py cull test)
+        tanx = (cfg.width / 2.0) / cfg.focal_px
+        tany = (cfg.height / 2.0) / cfg.focal_px
+        r_view = cfg.cam_dist * float(np.hypot(tanx, tany)) * 1.15 + cfg.pen_max
+        a_med = float(np.median(mesh.face_areas))
+        needed = int(2.0 * np.pi * r_view**2 / max(a_med, 1e-12))
+        self.max_faces_eff = min(
+            len(mesh.faces), max(cfg.max_faces, -(-needed // 256) * 256)
+        )
         self.pix_dirs = jnp.asarray(
             _pixel_dirs(cfg.width, cfg.height, cfg.focal_px)
         )
@@ -281,6 +400,17 @@ class DigitRenderer:
         )
         self.press_depth = 0.001
         self._batched_render = None
+        # background library (reference: 30 captured photos, random id per
+        # render, digit_renderer.py:45-47); one flat entry when not
+        # randomizing so the render signature stays static
+        if randomize:
+            self.backgrounds = make_backgrounds(
+                jax.random.PRNGKey(seed + 1), cfg.height, cfg.width, n=30
+            )
+        else:
+            self.backgrounds = jnp.full(
+                (1, cfg.height, cfg.width, 3), 0.175, dtype=jnp.float32
+            )
 
     def _split(self):
         self._key, k = jax.random.split(self._key)
@@ -331,12 +461,14 @@ class DigitRenderer:
         c = self.cfg
         return raycast_depth(
             self.tri, self.centroids, cam_pose, self.pix_dirs, c.cam_dist,
-            c.width, c.height, c.ray_chunk, min(c.max_faces, self.tri.shape[0]),
-            use_pallas=(self.backend == "pallas"),
+            c.width, c.height, c.ray_chunk, self.max_faces_eff,
+            use_pallas=(self.backend == "pallas"), radii=self.radii,
         )
 
     def _render_impl(self, gel_pose: jax.Array, press_depth: jax.Array,
-                     light: jax.Array):
+                     light: jax.Array, light_angles: jax.Array | None = None,
+                     light_rgb: jax.Array | None = None,
+                     bg_id: jax.Array | None = None):
         """Jit-safe single-touch render core (two-pass over-pen comp)."""
         c = self.cfg
         cam0 = self.gel2cam(gel_pose)
@@ -352,7 +484,14 @@ class DigitRenderer:
 
         heightmap = image_ops.cam_depth_to_gel_px(depth, c.pixmm, c.cam_dist)
         contact = (self.bg_depth - depth) > jnp.abs(press_eff * 0.2)
-        rgb = shade_rgb(heightmap, contact, c.pixmm, light_scale=light)
+        bg = self.backgrounds[
+            bg_id % self.backgrounds.shape[0] if bg_id is not None else 0
+        ]
+        rgb = shade_rgb(
+            heightmap, contact, c.pixmm, light_scale=light,
+            light_angles_deg=light_angles, light_rgb=light_rgb,
+            background=bg,
+        )
         return rgb, heightmap, contact, press_eff, cam
 
     def render(
@@ -364,32 +503,60 @@ class DigitRenderer:
         if press_depth is None:
             press_depth = self.press_depth
         light = jnp.asarray(1.0)
+        angles = colors = bg_id = None
         if self.randomize:
-            light = 0.8 + 0.4 * jax.random.uniform(self._split(), ())
+            k1, k2, k3, k4 = jax.random.split(self._split(), 4)
+            light = 0.8 + 0.4 * jax.random.uniform(k1, ())
+            angles, colors, bg_id = self._sample_lighting(k2, k3, k4)
         return self._render_impl(
             jnp.asarray(gel_pose, dtype=jnp.float32),
             jnp.asarray(press_depth, dtype=jnp.float32),
-            light,
+            light, angles, colors, bg_id,
         )
 
+    def _sample_lighting(self, ka, kc, kb, shape=()):
+        """Per-render light randomization matching tacto's
+        config_digit_shadow jitter (digit_renderer.py:160-161): LED ring
+        angles +-10 deg, per-channel color scale 0.85-1.15, random bg id."""
+        angles = jnp.asarray(DEFAULT_LIGHT_ANGLES) + jax.random.normal(
+            ka, shape + (3,)
+        ) * 10.0
+        colors = jnp.asarray(DEFAULT_LIGHT_RGB) * (
+            0.85 + 0.3 * jax.random.uniform(kc, shape + (3, 1))
+        )
+        bg_id = jax.random.randint(
+            kb, shape, 0, self.backgrounds.shape[0], dtype=jnp.int32
+        )
+        return angles, colors, bg_id
+
     def render_batch(self, gel_poses: jax.Array, press_depths: jax.Array,
-                     lights: jax.Array | None = None):
+                     lights: jax.Array | None = None,
+                     angles: jax.Array | None = None,
+                     colors: jax.Array | None = None,
+                     bg_ids: jax.Array | None = None):
         """Batched render: ONE jit, lax.map over poses — amortizes the
         per-call dispatch latency that dominates host-loop rendering.
         Returns stacked (rgb, heightmap, mask, press_eff, cam)."""
+        n = gel_poses.shape[0]
         if lights is None:
-            lights = jnp.ones(gel_poses.shape[0], dtype=jnp.float32)
+            lights = jnp.ones(n, dtype=jnp.float32)
+        if angles is None:
+            angles = jnp.tile(jnp.asarray(DEFAULT_LIGHT_ANGLES), (n, 1))
+        if colors is None:
+            colors = jnp.tile(jnp.asarray(DEFAULT_LIGHT_RGB), (n, 1, 1))
+        if bg_ids is None:
+            bg_ids = jnp.zeros(n, dtype=jnp.int32)
         if self._batched_render is None:
             self._batched_render = jax.jit(
-                lambda poses, press, lights: jax.lax.map(
+                lambda poses, press, lights, ang, col, bgs: jax.lax.map(
                     lambda args: self._render_impl(*args),
-                    (poses, press, lights),
+                    (poses, press, lights, ang, col, bgs),
                 )
             )
         return self._batched_render(
             jnp.asarray(gel_poses, dtype=jnp.float32),
             jnp.asarray(press_depths, dtype=jnp.float32),
-            lights,
+            lights, angles, colors, bg_ids,
         )
 
     def heightmap2Pointcloud(self, heightmap: jax.Array, contact_mask=None):
@@ -404,19 +571,23 @@ class DigitRenderer:
     # -- batched APIs (digit_renderer.py:250-359) ----------------------------
 
     def _render_chunked(self, poses: np.ndarray, press: np.ndarray,
-                        lights: np.ndarray, chunk: int = 64):
+                        lights: np.ndarray, chunk: int = 64,
+                        angles=None, colors=None, bg_ids=None):
         """Fixed-chunk batched rendering (pads the tail) -> numpy stacks."""
         n = poses.shape[0]
+        if angles is None:
+            angles = np.tile(DEFAULT_LIGHT_ANGLES, (n, 1))
+        if colors is None:
+            colors = np.tile(DEFAULT_LIGHT_RGB, (n, 1, 1))
+        if bg_ids is None:
+            bg_ids = np.zeros(n, np.int32)
+        arrs = [np.asarray(a) for a in (poses, press, lights, angles, colors, bg_ids)]
         pad = (-n) % chunk
         if pad:
-            poses = np.concatenate([poses, np.repeat(poses[-1:], pad, 0)])
-            press = np.concatenate([press, np.repeat(press[-1:], pad, 0)])
-            lights = np.concatenate([lights, np.repeat(lights[-1:], pad, 0)])
+            arrs = [np.concatenate([a, np.repeat(a[-1:], pad, 0)]) for a in arrs]
         outs = []
-        for i in range(0, poses.shape[0], chunk):
-            out = self.render_batch(
-                poses[i : i + chunk], press[i : i + chunk], lights[i : i + chunk]
-            )
+        for i in range(0, arrs[0].shape[0], chunk):
+            out = self.render_batch(*(a[i : i + chunk] for a in arrs))
             outs.append([np.asarray(x) for x in out])
         cat = [np.concatenate([o[k] for o in outs])[:n] for k in range(5)]
         rgbs, hms, masks, press_eff, cams = cat
@@ -433,12 +604,15 @@ class DigitRenderer:
             self._split(), (n,), minval=self.cfg.pen_min, maxval=self.cfg.pen_max
         ))
         lights = np.ones(n, np.float32)
+        angles = colors = bg_ids = None
         if self.randomize:
-            lights = 0.8 + 0.4 * np.asarray(
-                jax.random.uniform(self._split(), (n,))
+            k1, k2, k3, k4 = jax.random.split(self._split(), 4)
+            lights = 0.8 + 0.4 * np.asarray(jax.random.uniform(k1, (n,)))
+            angles, colors, bg_ids = self._sample_lighting(
+                k2, k3, k4, shape=(n,)
             )
         rgbs, hms, masks, press_eff, cams = self._render_chunked(
-            poses, press, lights
+            poses, press, lights, angles=angles, colors=colors, bg_ids=bg_ids
         )
         gels = np.asarray(self.cam2gel(jnp.asarray(cams)))
         return hms, masks, rgbs, cams, gels

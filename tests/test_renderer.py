@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from midastouch_tpu.geometry import procedural
 from midastouch_tpu.ops import image as image_ops
@@ -154,3 +155,67 @@ def test_pallas_raycast_matches_xla_interpret():
     cam_press = r_xla.add_press(cam, 0.001)
     d2 = np.asarray(r_xla.render_depth(cam_press))
     assert d2.min() < CFG.cam_dist - 1e-5
+
+
+@pytest.mark.slow
+def test_cull_budget_on_large_and_decimated_meshes():
+    """Depth from the 1024-face cull must match a full-face render on a
+    dense (>80k faces) mesh AND on a coarse decimated one, where large
+    triangles have far centroids (the radius-aware cull's reason to
+    exist). Round-1 weakness: cull only ever tested on small spheres."""
+    from midastouch_tpu.geometry.mesh import decimate
+    from midastouch_tpu.geometry import procedural
+    from midastouch_tpu.render.digit import DigitRenderer, RenderConfig
+
+    dense = procedural.potato(subdivisions=6)  # ~80k faces
+    assert len(dense.faces) >= 50_000
+    coarse = decimate(dense, 900)
+    assert len(coarse.faces) <= 1100
+
+    cfg_small = RenderConfig(width=60, height=80, max_faces=1024, ray_chunk=4800)
+    for mesh in (dense, coarse):
+        r_cull = DigitRenderer(cfg_small, mesh)
+        full = RenderConfig(
+            width=60, height=80, max_faces=len(mesh.faces), ray_chunk=4800
+        )
+        r_full = DigitRenderer(full, mesh)
+        pose = r_cull.update_pose_given_point(mesh.vertices[0])
+        cam = r_cull.add_press(
+            r_cull.gel2cam(jnp.asarray(pose, jnp.float32)), 0.001
+        )
+        d_cull = np.asarray(r_cull.render_depth(cam))
+        d_full = np.asarray(r_full.render_depth(cam))
+        assert (d_full < cfg_small.cam_dist - 2e-4).any()
+        # contact region (meaningful penetration): bit-exact; FOV fringe
+        # (grazing faces beyond the 1024 nearest): below one heightmap px
+        contact = d_full < cfg_small.cam_dist - 2e-4
+        err = np.abs(d_cull - d_full)
+        assert err[contact].max() < 1e-6, (
+            f"contact-region cull error on {len(mesh.faces)} faces: "
+            f"{err[contact].max():.2e}"
+        )
+        assert err.max() < cfg_small.pixmm / 1000.0, (
+            f"cull fringe error exceeds 1 px on {len(mesh.faces)} faces: "
+            f"{err.max():.2e}"
+        )
+
+
+def test_randomized_lighting_and_backgrounds_change_rgb_not_geometry():
+    """randomize=True must vary the RGB (lights/backgrounds) while leaving
+    heightmap + mask deterministic functions of the pose (reference
+    digit_renderer.py:45-47,160-161 randomizes only appearance)."""
+    from midastouch_tpu.geometry import procedural
+    from midastouch_tpu.render.digit import DigitRenderer, RenderConfig
+
+    mesh = procedural.icosphere(radius=0.04, subdivisions=3)
+    cfg = RenderConfig(width=60, height=80, max_faces=512, ray_chunk=4800)
+    r = DigitRenderer(cfg, mesh, randomize=True, seed=0)
+    assert r.backgrounds.shape[0] == 30
+    pose = r.update_pose_given_point(mesh.vertices[0])
+    hms, masks, rgbs, _, _ = r.render_sensor_poses(
+        np.tile(np.asarray(pose)[None], (6, 1, 1))
+    )
+    # same pose, same press window -> geometry close; appearance varies
+    rgb_spread = np.abs(rgbs - rgbs[0]).max(axis=(1, 2, 3))
+    assert (rgb_spread[1:] > 0.02).all(), "lighting randomization inert"
+    assert masks.std(axis=0).mean() < 0.25
