@@ -49,13 +49,38 @@ def batch_hard_triplet_loss(
     return jnp.sum(loss * valid) / jnp.maximum(jnp.sum(valid), 1.0)
 
 
-def make_train_step(tcn: TCN, tx, margin: float):
-    """(params, batch_stats, opt_state, inputs, pos_mask, neg_mask) -> ...
-    dp-shardable over the batch dim. `inputs` are backbone inputs
-    (clouds for VoxelFPN, images for HeightmapFPN)."""
+def kernel_alignment_loss(
+    emb: jax.Array, positions: jax.Array, sigma: float
+) -> jax.Array:
+    """MSE between the batch cosine-similarity matrix and a Gaussian kernel
+    of pose distance: cos(e_i, e_j) -> exp(-d_ij^2 / (2 sigma^2)).
+
+    The particle filter consumes softmaxed cosine similarity as likelihood
+    (particle_filter.py:449-469) — this loss shapes the ENTIRE
+    similarity-vs-distance profile the filter needs (monotone decay at the
+    sigma scale), where the triplet loss only orders one (pos, neg) pair
+    per anchor."""
+    sims = emb @ emb.T
+    d2 = jnp.sum(
+        (positions[:, None, :] - positions[None, :, :]) ** 2, axis=-1
+    )
+    target = jnp.exp(-d2 / (2.0 * sigma**2))
+    off = 1.0 - jnp.eye(emb.shape[0], dtype=emb.dtype)
+    return jnp.sum(((sims - target) * off) ** 2) / jnp.maximum(
+        jnp.sum(off), 1.0
+    )
+
+
+def make_train_step(
+    tcn: TCN, tx, margin: float,
+    kernel_weight: float = 0.0, kernel_sigma: float = 5e-3,
+):
+    """(params, batch_stats, opt_state, inputs, pos_mask, neg_mask,
+    positions) -> ... dp-shardable over the batch dim. `inputs` are
+    backbone inputs (clouds for VoxelFPN, images for HeightmapFPN)."""
     model, arch, grid = tcn.model, tcn.arch, tcn.grid_size
 
-    def loss_fn(params, batch_stats, inputs, pos_mask, neg_mask):
+    def loss_fn(params, batch_stats, inputs, pos_mask, neg_mask, positions):
         x = inputs if arch == "HeightmapFPN" else voxelize(inputs, grid)
         emb, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
@@ -65,12 +90,18 @@ def make_train_step(tcn: TCN, tx, margin: float):
         )
         emb = emb / jnp.maximum(jnp.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
         new_stats = mutated.get("batch_stats", batch_stats)
-        return batch_hard_triplet_loss(emb, pos_mask, neg_mask, margin), new_stats
+        loss = batch_hard_triplet_loss(emb, pos_mask, neg_mask, margin)
+        if kernel_weight > 0.0:
+            loss = loss + kernel_weight * kernel_alignment_loss(
+                emb, positions, kernel_sigma
+            )
+        return loss, new_stats
 
     @jax.jit
-    def step(params, batch_stats, opt_state, inputs, pos_mask, neg_mask):
+    def step(params, batch_stats, opt_state, inputs, pos_mask, neg_mask,
+             positions):
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, batch_stats, inputs, pos_mask, neg_mask
+            params, batch_stats, inputs, pos_mask, neg_mask, positions
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -287,7 +318,11 @@ def train(
         optax.adamw(sched, weight_decay=float(tr.weight_decay)),
     )
     opt_state = tx.init(params)
-    step = make_train_step(tcn, tx, margin)
+    step = make_train_step(
+        tcn, tx, margin,
+        kernel_weight=float(tr.get("kernel_loss_weight", 0.0)),
+        kernel_sigma=float(tr.get("kernel_sigma", 5e-3)),
+    )
 
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
@@ -346,6 +381,7 @@ def train(
             params, batch_stats, opt_state, loss = step(
                 params, batch_stats, opt_state,
                 inputs, jnp.asarray(pos_mask), jnp.asarray(neg_mask),
+                jnp.asarray(positions[b], dtype=jnp.float32),
             )
             losses.append(loss)  # device scalar; fetched once per epoch
         losses = [float(x) for x in jax.device_get(losses)]

@@ -202,14 +202,16 @@ def test_heightmap_fpn_tcn():
     tx = optax.adam(1e-3)
     params = tcn.variables["params"]
     stats = tcn.variables.get("batch_stats", {})
-    step = make_train_step(tcn, tx, margin=0.2)
+    step = make_train_step(tcn, tx, margin=0.2, kernel_weight=1.0)
     inputs = tcn.model_inputs(
         jax.random.PRNGKey(0), jnp.stack([hm] * 4), jnp.stack([mask] * 4)
     )
     pos = np.zeros((4, 4), bool); pos[0, 1] = pos[1, 0] = pos[2, 3] = pos[3, 2] = True
     neg = ~pos & ~np.eye(4, dtype=bool)
+    positions = jnp.asarray(np.random.default_rng(0).uniform(
+        -0.02, 0.02, (4, 3)).astype(np.float32))
     _, _, _, loss = step(
         params, stats, tx.init(params), inputs,
-        jnp.asarray(pos), jnp.asarray(neg),
+        jnp.asarray(pos), jnp.asarray(neg), positions,
     )
     assert np.isfinite(float(loss))

@@ -102,3 +102,36 @@ def test_mine_hard_negatives():
     mined = mine_hard_negatives(emb, pos, np.array([0]), neg_dist=0.01, k=2)
     assert mined[0, 0] == 3  # the true alias
     assert 1 not in mined[0]  # pose-near entries are not negatives
+
+
+def test_kernel_alignment_loss_shapes_similarity():
+    """Perfectly kernel-aligned embeddings score ~0; anti-aligned score
+    high — and the loss decreases under gradient steps on a toy table."""
+    import jax
+    import jax.numpy as jnp
+
+    from midastouch_tpu.train.train_tcn import kernel_alignment_loss
+
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.uniform(-0.005, 0.005, (16, 3)).astype(np.float32))
+    # embeddings as free parameters: a direct sanity check of the gradient
+    emb0 = jnp.asarray(rng.normal(size=(16, 32)).astype(np.float32))
+
+    def loss(e):
+        e = e / jnp.linalg.norm(e, axis=1, keepdims=True)
+        return kernel_alignment_loss(e, pos, sigma=5e-3)
+
+    l0 = float(loss(emb0))
+    g = jax.jit(jax.grad(loss))
+    e = emb0
+    for _ in range(500):
+        e = e - 1.0 * g(e)
+    l1 = float(loss(e))
+    assert l1 < 0.5 * l0, (l0, l1)
+    # aligned table: cosine actually tracks the kernel now
+    en = np.asarray(e / jnp.linalg.norm(e, axis=1, keepdims=True))
+    sims = en @ en.T
+    d = np.linalg.norm(np.asarray(pos)[:, None] - np.asarray(pos)[None], axis=-1)
+    target = np.exp(-(d**2) / (2 * 5e-3**2))
+    off = ~np.eye(16, dtype=bool)
+    assert np.corrcoef(sims[off], target[off])[0, 1] > 0.7
