@@ -33,7 +33,10 @@ def touch_simulator(cfg, obj_model: str | None = None, seed: int = 0) -> str:
     rng = np.random.default_rng(seed)
 
     mesh = common.resolve_mesh(obj_model)
-    renderer = common.make_renderer(cfg, mesh, randomize=False, seed=seed)
+    # randomize appearance (lights/backgrounds) like the codebook build:
+    # the TDN trains on these images and must be robust to the sensor-unit
+    # variation the reference's 30-background library models
+    renderer = common.make_renderer(cfg, mesh, randomize=True, seed=seed)
 
     n = int(dg.num_frames)
     method = str(dg.method)

@@ -143,6 +143,15 @@ TEST_OBJECTS = {
         subdivisions=5, num_bumps=60, bump_height=0.35, bump_width=0.25,
         seed=11,
     ),
+    # contact-patch-scale terrain: bump widths 3-6 mm / heights ~1-3 mm sit
+    # INSIDE one sensor patch, so every touch sees several distinctive
+    # features — the procedural analogue of the feature-rich YCB objects
+    # the reference evaluates on (potato/rock features are wider than the
+    # patch and normal-alignment removes their leading-order signal)
+    "pebble": lambda: potato(
+        subdivisions=5, num_bumps=500, bump_height=0.05, bump_width=0.1,
+        seed=13,
+    ),
 }
 
 

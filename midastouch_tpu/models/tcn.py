@@ -58,6 +58,16 @@ class TCN:
         self.normalize_embeddings = True
         self.scale_mode = str(m.get("scale_mode", "sensor_frame"))
         self.pen_max = float(render_cfg.pen.max)
+        # yaw/translation-canonical input patches (HeightmapFPN only):
+        # codebook poses sample yaw uniformly (pose_from_vertex_normal), so
+        # two touches at one surface point differ by an in-plane rotation
+        # the training data never teaches invariance to; canonicalization
+        # removes the nuisance DOF geometrically (ops/image.py), making
+        # codes position-functions and multiplying effective codebook
+        # density by the yaw bins it no longer has to cover
+        self.canonicalize = bool(m.get("canonicalize", False))
+        self.canonical_size = int(m.get("canonical_size", 48))
+        self.canonical_crop_px = float(m.get("canonical_crop_px", 192.0))
 
         self.pixmm = float(render_cfg.pixmm)
         self.cam_dist = float(render_cfg.cam_dist)
@@ -81,7 +91,11 @@ class TCN:
         )
         if self.arch == "HeightmapFPN":
             self.model = HeightmapFPN(**kwargs)
-            dummy = jnp.zeros((1, h, w, 2))
+            if self.canonicalize:
+                cs = self.canonical_size
+                dummy = jnp.zeros((1, cs, cs, 2))
+            else:
+                dummy = jnp.zeros((1, h, w, 2))
         else:
             self.model = VoxelFPN(**kwargs)
             g = self.grid_size
@@ -125,7 +139,20 @@ class TCN:
         return jax.vmap(one)(keys, heightmaps, masks)
 
     def heightmaps_to_images(self, heightmaps, masks):
-        """(B, H, W) -> (B, H, W, 2) [penetration / pen_max, mask]."""
+        """(B, H, W) -> (B, H', W', 2) [penetration / pen_max, mask];
+        H'/W' = sensor resolution, or canonical_size when canonicalizing."""
+        if self.canonicalize:
+            from midastouch_tpu.ops import image as image_ops
+
+            cs, crop = self.canonical_size, self.canonical_crop_px
+            patch = jax.vmap(
+                lambda h, m: image_ops.canonicalize_patch(
+                    h, m, out_h=cs, out_w=cs, crop_px=crop
+                )
+            )(heightmaps.astype(jnp.float32), masks)
+            pen = patch * (self.pixmm / 1000.0) / self.pen_max
+            m = (patch > 1e-3).astype(jnp.float32)
+            return jnp.stack([jnp.clip(pen, 0.0, 2.0), m], axis=-1)
         pen = heightmaps * (self.pixmm / 1000.0) / self.pen_max
         m = masks.astype(jnp.float32)
         return jnp.stack([jnp.clip(pen, 0.0, 2.0) * m, m], axis=-1)

@@ -30,6 +30,10 @@ QUICK = len(sys.argv) > 1 and sys.argv[1] == "quick"
 
 import os as _os
 OBJ = _os.environ.get("PIPELINE_OBJ", "potato")
+# extra config overrides (semicolon-separated) + results file, so runs on
+# different objects/recipes don't clobber each other
+EXTRA = [x for x in _os.environ.get("PIPELINE_EXTRA", "").split(";") if x]
+OUT_JSON = _os.environ.get("PIPELINE_OUT", "RESULTS.json")
 N_TRAIN_TRAJ = 120 if QUICK else 400
 N_TRAIN_RAND = 120 if QUICK else 400
 N_EVAL = 60 if QUICK else 150
@@ -44,8 +48,8 @@ BASE = [
     f"expt.codebook_size={CODEBOOK}",
     f"expt.params.num_particles={PARTICLES}",
     "expt.render=false",
-    "tpu.render_max_faces=512",  # potato is smooth; halves raycast cost
-]
+    "tpu.render_max_faces=512",  # a FLOOR: density-aware cull auto-raises
+] + EXTRA
 
 
 def log(*a):
@@ -137,10 +141,10 @@ def main():
 
     results["total_wall_s"] = time.time() - t_start
 
-    with open("RESULTS.json", "w") as fh:
+    with open(OUT_JSON, "w") as fh:
         json.dump(results, fh, indent=2)
 
-    with open("RESULTS.md", "w") as fh:
+    with open(OUT_JSON.replace(".json", ".md") if OUT_JSON != "RESULTS.json" else "RESULTS.md", "w") as fh:
         fh.write(f"""# RESULTS — learned end-to-end pipeline ({OBJ})
 
 Self-contained run (procedural {OBJ}, no downloaded assets): renderer ->
