@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from midastouch_tpu.filter.particles import ParticleState
 from midastouch_tpu.ops import cluster as cluster_ops
-from midastouch_tpu.ops import knn, resample, se3
+from midastouch_tpu.ops import knn, resample, se3, select
 
 
 class FilterParams(NamedTuple):
@@ -263,15 +263,6 @@ class ParticleFilter:
         converged = var == 0.0
         ratio = var / jnp.where(first, 1.0, state.particle_var)
 
-        # ranks among live particles (ascending weight)
-        wa = jnp.where(state.alive, state.weights, jnp.inf)
-        order = jnp.argsort(wa)
-        rank_up = jnp.zeros(state.capacity, jnp.int32).at[order].set(
-            jnp.arange(state.capacity, dtype=jnp.int32)
-        )
-        # rank from the top among live particles
-        rank_down = n - 1 - rank_up
-
         nf = n.astype(jnp.float32)
         num_remove = jnp.minimum(
             jnp.minimum(((1.0 - ratio) * nf).astype(jnp.int32), jnp.abs(n - floor)),
@@ -286,9 +277,15 @@ class ParticleFilter:
         shrink = (ratio < 1.0) & ~first & ~converged
         grow = (ratio > 1.0) & ~first & ~converged
 
+        # membership masks via sort-free exact rank selection (ops/select):
+        # the num_remove lowest / num_add highest live weights, identical
+        # tie semantics to the stable argsort this replaces
+        bottom = select.bottom_k_mask(state.weights, state.alive, num_remove)
+        top = select.top_k_mask(state.weights, state.alive, num_add)
+
         w = state.weights
-        w = jnp.where(shrink & state.alive & (rank_up < num_remove), 0.0, w)
-        w = jnp.where(grow & state.alive & (rank_down < num_add), 2.0 * w, w)
+        w = jnp.where(shrink & bottom, 0.0, w)
+        w = jnp.where(grow & top, 2.0 * w, w)
 
         n_new = jnp.where(
             shrink, n - num_remove, jnp.where(grow, n + num_add, n)

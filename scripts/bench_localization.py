@@ -28,7 +28,9 @@ def smooth_embedding(keys, dim=128, seed=3):
 def main():
     rng = np.random.default_rng(0)
     mesh = procedural.icosphere(radius=0.04, subdivisions=4)
-    M, N, T = 50000, 50000, 200
+    M = int(os.environ.get("BENCH_M", 50000))
+    N = int(os.environ.get("BENCH_N", 50000))
+    T = int(os.environ.get("BENCH_T", 200))
     with jax.default_device(jax.devices("cpu")[0]):
         poses = sample_poses_on_mesh(mesh, M, rng, edges=False)
         cam = poses.copy(); cam[:, :3, 3] += cam[:, :3, 2] * 0.022

@@ -208,3 +208,72 @@ def test_canonicalize_patch_empty_mask_is_finite():
         image.canonicalize_patch(jnp.asarray(hm), jnp.asarray(hm > 1))
     )
     assert np.all(np.isfinite(p)) and p.max() == 0.0
+
+
+# -- sort-free rank selection (ops/select; replaces the annealing argsort) ----
+
+def _argsort_masks(w, alive, k_bottom, k_top):
+    """Oracle: the stable-argsort rank scheme select.py replaces."""
+    wa = np.where(alive, w, np.inf)
+    order = np.argsort(wa, kind="stable")
+    rank_up = np.empty(len(w), np.int64)
+    rank_up[order] = np.arange(len(w))
+    n = int(alive.sum())
+    rank_down = n - 1 - rank_up
+    return alive & (rank_up < k_bottom), alive & (rank_down < k_top)
+
+
+def test_select_masks_match_argsort():
+    from midastouch_tpu.ops import select
+
+    rng = np.random.default_rng(0)
+    for n, k_b, k_t in ((64, 5, 9), (1000, 333, 0), (1000, 0, 250),
+                        (4096, 1, 4095)):
+        w = rng.gamma(2.0, 1.0, size=n).astype(np.float32)
+        alive = rng.random(n) < 0.8
+        k_b_eff = min(k_b, int(alive.sum()))
+        bot, top = _argsort_masks(w, alive, k_b_eff, k_t)
+        bot2 = np.asarray(select.bottom_k_mask(
+            jnp.asarray(w), jnp.asarray(alive), jnp.asarray(k_b_eff)))
+        top2 = np.asarray(select.top_k_mask(
+            jnp.asarray(w), jnp.asarray(alive), jnp.asarray(k_t)))
+        np.testing.assert_array_equal(bot, bot2)
+        np.testing.assert_array_equal(top, top2)
+
+
+def test_select_masks_ties_match_argsort():
+    from midastouch_tpu.ops import select
+
+    rng = np.random.default_rng(1)
+    # heavy ties: weights drawn from 4 distinct values, plus the all-equal
+    # population the post-init annealing sees
+    for w in (
+        rng.choice(np.float32([0.1, 0.2, 0.2, 0.7]), size=512),
+        np.full(512, 1.0 / 512, np.float32),
+    ):
+        alive = np.ones(512, bool)
+        alive[::7] = False
+        for k in (0, 1, 100, 400):
+            k_eff = min(k, int(alive.sum()))
+            bot, top = _argsort_masks(w, alive, k_eff, k_eff)
+            bot2 = np.asarray(select.bottom_k_mask(
+                jnp.asarray(w), jnp.asarray(alive), jnp.asarray(k_eff)))
+            top2 = np.asarray(select.top_k_mask(
+                jnp.asarray(w), jnp.asarray(alive), jnp.asarray(k_eff)))
+            np.testing.assert_array_equal(bot, bot2, err_msg=f"bottom k={k}")
+            np.testing.assert_array_equal(top, top2, err_msg=f"top k={k}")
+
+
+def test_select_masks_jit_traced_k():
+    from midastouch_tpu.ops import select
+
+    w = jnp.asarray(np.random.default_rng(2).random(256), jnp.float32)
+    alive = jnp.ones(256, bool)
+
+    @jax.jit
+    def f(k):
+        return select.bottom_k_mask(w, alive, k), select.top_k_mask(w, alive, k)
+
+    b, t = f(jnp.asarray(17))
+    assert int(b.sum()) == 17 and int(t.sum()) == 17
+    assert not bool(jnp.any(b & t))
