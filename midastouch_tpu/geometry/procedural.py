@@ -133,6 +133,38 @@ def potato(
     return Mesh((dirs * (r[:, None] * radius)).astype(np.float32), base.faces)
 
 
+def bumpy_blob(
+    radius: float = 0.04,
+    subdivisions: int = 5,
+    populations=((10, 0.18, 0.35, 0.6), (70, 0.03, 0.08, 0.16)),
+    seed: int = 17,
+) -> Mesh:
+    """Multi-scale irregular blob: icosphere displaced by several gaussian
+    bump populations, each (count, height_frac, width_lo_rad, width_hi_rad).
+
+    Why multi-scale: single-touch retrieval needs the tactile patch to be
+    BOTH distinctive (features at/below the ~7x9 mm gel window) and smoothly
+    position-correlated (wavelengths above the window, so overlapping
+    touches look alike). One-population blobs fail one way or the other —
+    `potato`'s bumps are wider than the window (normal alignment removes
+    them: retrieval ~0.9), `pebble`'s noise decorrelates within one window
+    (retrieval ~1.0). YCB meshes the reference evaluates on are naturally
+    multi-scale (faces + edges + corners); this is their procedural analogue.
+    """
+    base = icosphere(radius=1.0, subdivisions=subdivisions)
+    rng = np.random.default_rng(seed)
+    dirs = base.vertices / np.linalg.norm(base.vertices, axis=1, keepdims=True)
+    r = np.ones(len(dirs))
+    for num, height, w_lo, w_hi in populations:
+        centers = rng.normal(size=(num, 3))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        amps = rng.uniform(-height, height, size=num)
+        widths = rng.uniform(w_lo, w_hi, size=num)
+        ang = np.arccos(np.clip(dirs @ centers.T, -1.0, 1.0))  # (V, B)
+        r = r + (amps[None, :] * np.exp(-((ang / widths[None, :]) ** 2))).sum(1)
+    return Mesh((dirs * (r[:, None] * radius)).astype(np.float32), base.faces)
+
+
 TEST_OBJECTS = {
     "sphere": lambda: icosphere(subdivisions=4),
     "box": lambda: box(divisions=12),
@@ -152,6 +184,8 @@ TEST_OBJECTS = {
         subdivisions=5, num_bumps=500, bump_height=0.05, bump_width=0.1,
         seed=13,
     ),
+    # multi-scale blob (see bumpy_blob): the learned-pipeline flagship
+    "boulder": lambda: bumpy_blob(),
 }
 
 

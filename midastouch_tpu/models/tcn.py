@@ -68,6 +68,9 @@ class TCN:
         self.canonicalize = bool(m.get("canonicalize", False))
         self.canonical_size = int(m.get("canonical_size", 48))
         self.canonical_crop_px = float(m.get("canonical_crop_px", 192.0))
+        # press-depth-invariant band (mm of relief below the deepest contact
+        # point; 0 disables) — see ops/image.depth_band for why
+        self.canonical_band_mm = float(m.get("canonical_band_mm", 0.7))
 
         self.pixmm = float(render_cfg.pixmm)
         self.cam_dist = float(render_cfg.cam_dist)
@@ -145,12 +148,21 @@ class TCN:
             from midastouch_tpu.ops import image as image_ops
 
             cs, crop = self.canonical_size, self.canonical_crop_px
+            hm32 = heightmaps.astype(jnp.float32)
+            if self.canonical_band_mm > 0:
+                band_px = self.canonical_band_mm / self.pixmm
+                hm32, masks = jax.vmap(
+                    lambda h, m: image_ops.depth_band(h, m, band_px=band_px)
+                )(hm32, masks)
+                scale = 1.0 / band_px  # band patch -> [0, 1]
+            else:
+                scale = (self.pixmm / 1000.0) / self.pen_max
             patch = jax.vmap(
                 lambda h, m: image_ops.canonicalize_patch(
                     h, m, out_h=cs, out_w=cs, crop_px=crop
                 )
-            )(heightmaps.astype(jnp.float32), masks)
-            pen = patch * (self.pixmm / 1000.0) / self.pen_max
+            )(hm32, masks)
+            pen = patch * scale
             m = (patch > 1e-3).astype(jnp.float32)
             return jnp.stack([jnp.clip(pen, 0.0, 2.0), m], axis=-1)
         pen = heightmaps * (self.pixmm / 1000.0) / self.pen_max

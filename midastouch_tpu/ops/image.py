@@ -128,6 +128,37 @@ def scale_to_unit(points: jax.Array) -> jax.Array:
     return 2.0 * (points - mn) / jnp.maximum(mx - mn, 1e-12) - 1.0
 
 
+@functools.partial(jax.jit, static_argnames=("band_px", "top_k"))
+def depth_band(
+    hm: jax.Array,  # (H, W) gel-frame penetration heightmap, px units
+    mask: jax.Array,  # (H, W) bool contact mask
+    band_px: float,
+    top_k: int = 64,
+):
+    """Press-depth-invariant penetration band.
+
+    The heightmap is the surface profile intersected with the gel plane at
+    a RANDOM press depth (~U(pen.min, pen.max), digit_renderer.py:271-275
+    and :313-359) — the same surface point pressed 0.6 mm vs 1.8 mm deep
+    yields nearly uncorrelated penetration images (measured same-site
+    canonical-patch cosine 0.97 -> 0.05), which caps any appearance-space
+    retrieval at chance. Penetration RELATIVE TO THE DEEPEST CONTACT POINT
+    is a pure surface property: re-anchoring at the deepest point and
+    keeping only the top `band_px` of relief removes the press-depth DOF
+    exactly (up to band truncation when press < band).
+
+    The anchor is the mean of the `top_k` deepest penetrations — robust to
+    isolated estimation spikes in TDN-predicted heightmaps (on GT renders
+    it equals the max up to interpolation).
+
+    Returns (banded heightmap in [0, band_px], its support mask).
+    """
+    z = jnp.maximum(hm, 0.0) * mask.astype(hm.dtype)
+    anchor = jnp.mean(jax.lax.top_k(z.ravel(), top_k)[0])
+    zb = jnp.clip(z - (anchor - band_px), 0.0, band_px)
+    return zb, zb > 1e-3
+
+
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w", "crop_px"))
 def canonicalize_patch(
     hm: jax.Array,  # (H, W) gel-frame heightmap, px units (>=0 at contact)

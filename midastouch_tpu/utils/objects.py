@@ -32,7 +32,9 @@ mcmaster_models = ["cotter-pin", "steel-nail", "eyebolt"]
 misc_obj_models = ["grey_pitcher", "blue_shoe", "white_binder"]
 
 # procedural assets shipped with this framework (geometry/procedural.py)
-procedural_models = ["sphere", "box", "cylinder", "potato", "rock", "pebble"]
+procedural_models = [
+    "sphere", "box", "cylinder", "potato", "rock", "pebble", "boulder",
+]
 
 
 def is_procedural(name: str) -> bool:

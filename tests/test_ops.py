@@ -277,3 +277,44 @@ def test_select_masks_jit_traced_k():
     b, t = f(jnp.asarray(17))
     assert int(b.sum()) == 17 and int(t.sum()) == 17
     assert not bool(jnp.any(b & t))
+
+
+# -- depth_band (press-depth-invariant relief) --------------------------------
+
+def test_depth_band_press_invariance():
+    """Same surface pressed deeper = penetration + offset with larger
+    support; the band representation must be identical on the band."""
+    from midastouch_tpu.ops import image
+
+    yy, xx = np.mgrid[0:240, 0:320].astype(np.float32)
+    bump = 60 * np.exp(-(((yy - 120) / 40) ** 2 + ((xx - 160) / 55) ** 2))
+    shallow = np.maximum(bump - 20, 0.0)
+    deep = np.maximum(bump - 2, 0.0)   # 0.54 mm deeper press
+    band_px = 0.5 / 0.03  # 0.5 mm band
+
+    b1, m1 = image.depth_band(
+        jnp.asarray(shallow), jnp.asarray(shallow > 0), band_px=band_px)
+    b2, m2 = image.depth_band(
+        jnp.asarray(deep), jnp.asarray(deep > 0), band_px=band_px)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
+
+def test_depth_band_anchor_robust_to_spike():
+    from midastouch_tpu.ops import image
+
+    yy, xx = np.mgrid[0:240, 0:320].astype(np.float32)
+    bump = np.maximum(
+        50 * np.exp(-(((yy - 120) / 50) ** 2 + ((xx - 160) / 60) ** 2)) - 10,
+        0.0,
+    )
+    spiked = bump.copy()
+    spiked[5, 5] = 500.0  # lone TDN spike far from the contact
+    band_px = 20.0
+    b_clean, _ = image.depth_band(
+        jnp.asarray(bump), jnp.asarray(bump > 0), band_px=band_px)
+    b_spiked, _ = image.depth_band(
+        jnp.asarray(spiked), jnp.asarray(spiked > 0), band_px=band_px)
+    # top-64 mean anchor moves < 8 px despite the 500 px outlier
+    diff = np.abs(np.asarray(b_clean) - np.asarray(b_spiked))
+    assert np.median(diff[np.asarray(bump) > 30]) < 8.0
