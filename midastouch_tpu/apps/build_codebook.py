@@ -46,6 +46,7 @@ def build_codebook(
     )
 
     batch = int(cfg.tcn.model.batch_size)
+    pca_inputs: list = []
     gelposes = np.zeros((num_samples, 4, 4), np.float32)
     camposes = np.zeros((num_samples, 4, 4), np.float32)
     embeddings = np.zeros((num_samples, int(cfg.tcn.model.output_dim)), np.float32)
@@ -61,13 +62,30 @@ def build_codebook(
             est_m = tdn.heightmaps2masks(est_h)
             hms, masks = np.asarray(est_h), np.asarray(est_m)
         key = jax.random.fold_in(jax.random.PRNGKey(seed), i)
-        embeddings[sl] = np.asarray(
-            tcn.cloud_to_tactile_code(hms, masks, key=key)
-        )
+        if tcn.arch == "PatchPCA":
+            # embed after the loop: the projection is fitted on these very
+            # patches (self-supervised — no separate training run)
+            pca_inputs.append(np.asarray(tcn.model_inputs(
+                key, jnp.asarray(hms, jnp.float32), jnp.asarray(masks > 0)
+            )))
+        else:
+            embeddings[sl] = np.asarray(
+                tcn.cloud_to_tactile_code(hms, masks, key=key)
+            )
         done = sl.stop
         rate = done / (time.perf_counter() - t0)
         print(f"\r{done}/{num_samples} ({rate:.1f} poses/s)", end="", flush=True)
     print()
+
+    if tcn.arch == "PatchPCA":
+        inputs = np.concatenate(pca_inputs)
+        if not tcn.is_fitted:
+            tcn.fit_patch_pca(inputs, seed=seed)
+            print(f"fitted PatchPCA projection -> {tcn._weights_path}")
+        for i in range(0, num_samples, batch):
+            embeddings[i : i + batch] = np.asarray(
+                tcn.clouds_to_codes(jnp.asarray(inputs[i : i + batch]))
+            )
 
     cb = Codebook.from_poses(gelposes, camposes, embeddings)
     if save:

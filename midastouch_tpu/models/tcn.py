@@ -92,6 +92,33 @@ class TCN:
             dtype=compute_dtype,
             norm=str(m.get("norm", "group")),
         )
+        if self.arch == "PatchPCA":
+            # training-free embedder: yaw/translation/press-depth-canonical
+            # patch -> soft-whitened PCA projection, fitted self-supervised
+            # on the codebook's own renders (fit_patch_pca). The classical
+            # baseline the learned TCN must beat; also the no-weights
+            # fallback so a fresh checkout can localize.
+            self.canonicalize = True
+            cs = self.canonical_size
+            d = cs * cs * 2
+            e = self.output_dim
+            if params_path is None:
+                params_path = os.path.join(DIRS["weights"], str(m.tcn_weights))
+            self._weights_path = params_path
+            if os.path.exists(params_path):
+                self.variables = load_variables(params_path)
+            else:  # random orthonormal projection until fitted
+                q, _ = np.linalg.qr(
+                    np.random.default_rng(seed).normal(size=(d, e))
+                )
+                self.variables = {"params": {
+                    "mean": jnp.zeros((d,), jnp.float32),
+                    "components": jnp.asarray(q, jnp.float32),
+                    "fitted": jnp.zeros((), jnp.float32),
+                }}
+            self.model = None
+            self._embed = jax.jit(self._embed_impl)
+            return
         if self.arch == "HeightmapFPN":
             self.model = HeightmapFPN(**kwargs)
             if self.canonicalize:
@@ -172,6 +199,13 @@ class TCN:
     # -- embedding ------------------------------------------------------------
 
     def _embed_impl(self, variables, inputs):
+        if self.arch == "PatchPCA":
+            p = variables["params"]
+            x = inputs.reshape(inputs.shape[0], -1)
+            emb = (x - p["mean"]) @ p["components"]
+            return emb / jnp.maximum(
+                jnp.linalg.norm(emb, axis=1, keepdims=True), 1e-12
+            )
         if self.arch == "HeightmapFPN":
             emb = self.model.apply(variables, inputs, train=False)
         else:
@@ -186,9 +220,53 @@ class TCN:
     def clouds_to_codes(self, clouds: jax.Array) -> jax.Array:
         return self._embed(self.variables, clouds)
 
+    @property
+    def is_fitted(self) -> bool:
+        """PatchPCA: whether a projection has been fitted (vs random init)."""
+        if self.arch != "PatchPCA":
+            return True
+        return float(self.variables["params"].get("fitted", 0.0)) > 0.0
+
+    def fit_patch_pca(
+        self,
+        inputs: np.ndarray,  # (N, cs, cs, 2) canonical model inputs
+        whiten_floor: float = 0.05,
+        max_rows: int = 3072,
+        seed: int = 0,
+        save: bool = True,
+    ) -> None:
+        """Fit the PatchPCA projection: soft-whitened top-`output_dim`
+        principal directions of the canonical patches. Soft whitening
+        (scale 1/max(s_i, floor*s_0)) equalizes discriminative modes
+        without exploding the noise floor the way full whitening does."""
+        assert self.arch == "PatchPCA"
+        x = np.asarray(inputs, np.float32).reshape(len(inputs), -1)
+        if len(x) > max_rows:
+            sel = np.random.default_rng(seed).choice(
+                len(x), max_rows, replace=False
+            )
+            x = x[sel]
+        mean = x.mean(0)
+        xc = x - mean
+        _, s, vt = np.linalg.svd(xc, full_matrices=False)
+        e = self.output_dim
+        s_e, v_e = s[:e], vt[:e]
+        scale = 1.0 / np.maximum(s_e, whiten_floor * max(s_e[0], 1e-12))
+        comps = (v_e * scale[:, None]).T.astype(np.float32)  # (D, E)
+        if comps.shape[1] < e:  # fewer samples than dims: pad
+            pad = np.zeros((comps.shape[0], e - comps.shape[1]), np.float32)
+            comps = np.concatenate([comps, pad], axis=1)
+        self.variables = {"params": {
+            "mean": jnp.asarray(mean),
+            "components": jnp.asarray(comps),
+            "fitted": jnp.ones((), jnp.float32),
+        }}
+        if save and getattr(self, "_weights_path", None):
+            self.save(self._weights_path)
+
     def model_inputs(self, key, heightmaps, masks):
         """Backbone-appropriate inputs from heightmaps/masks."""
-        if self.arch == "HeightmapFPN":
+        if self.arch in ("HeightmapFPN", "PatchPCA"):
             return self.heightmaps_to_images(heightmaps, masks)
         return self.heightmaps_to_clouds(key, heightmaps, masks)
 

@@ -215,3 +215,51 @@ def test_heightmap_fpn_tcn():
         jnp.asarray(pos), jnp.asarray(neg), positions,
     )
     assert np.isfinite(float(loss))
+
+
+def test_patch_pca_embedder(tmp_path):
+    """PatchPCA: training-free canonical-patch embedder — fit on its own
+    renders, discriminative after fit, exact save/reload parity."""
+    import os
+
+    from midastouch_tpu.models.tcn import TCN
+    from midastouch_tpu.utils.config import compose
+
+    cfg = compose(["tcn.model.model=PatchPCA", "tcn.model.output_dim=32"])
+    path = os.path.join(tmp_path, "pca.npz")
+    tcn = TCN(cfg.tcn, cfg.tdn.render, params_path=path)
+    assert tcn.arch == "PatchPCA" and tcn.canonicalize and not tcn.is_fitted
+
+    # two distinct synthetic contact geometries, several presses each
+    yy, xx = np.mgrid[0:240, 0:320].astype(np.float32)
+    dome = 50 * np.exp(-(((yy - 120) / 40) ** 2 + ((xx - 160) / 40) ** 2))
+    ridge = 50 * np.exp(-(((xx - 160) / 18) ** 2))
+    hms, labels = [], []
+    for base, lab in ((dome, 0), (ridge, 1)):
+        # presses >= the 0.7 mm (23 px) band, so the band never truncates
+        for press in (25.0, 30.0, 36.0, 42.0):
+            hms.append(np.maximum(base - (50 - press), 0.0))
+            labels.append(lab)
+    hms = np.stack(hms)
+    masks = hms > 0
+    labels = np.asarray(labels)
+
+    inputs = np.asarray(tcn.model_inputs(
+        jax.random.PRNGKey(0), jnp.asarray(hms), jnp.asarray(masks)))
+    assert inputs.shape[-1] == 2
+    tcn.fit_patch_pca(inputs)
+    assert tcn.is_fitted and os.path.exists(path)
+
+    codes = np.asarray(tcn.cloud_to_tactile_code(
+        jnp.asarray(hms), jnp.asarray(masks)))
+    sims = codes @ codes.T
+    same = sims[labels[:, None] == labels[None, :]].mean()
+    cross = sims[labels[:, None] != labels[None, :]].mean()
+    # press-depth invariance + discrimination: same-shape pairs (any press)
+    # must be far more similar than cross-shape pairs
+    assert same > cross + 0.5, (same, cross)
+
+    tcn2 = TCN(cfg.tcn, cfg.tdn.render, params_path=path)
+    codes2 = np.asarray(tcn2.cloud_to_tactile_code(
+        jnp.asarray(hms), jnp.asarray(masks)))
+    np.testing.assert_allclose(codes, codes2, atol=1e-6)
