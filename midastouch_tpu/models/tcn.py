@@ -262,6 +262,7 @@ class TCN:
             "fitted": jnp.ones((), jnp.float32),
         }}
         if save and getattr(self, "_weights_path", None):
+            os.makedirs(os.path.dirname(self._weights_path), exist_ok=True)
             self.save(self._weights_path)
 
     def model_inputs(self, key, heightmaps, masks):

