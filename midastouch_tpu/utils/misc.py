@@ -143,11 +143,20 @@ def images_to_video(image_dir: str, out_name: str = "results.mp4", fps: int = 10
         with imageio.get_writer(out, fps=fps) as w:
             for n in names:
                 w.append_data(imageio.imread(os.path.join(image_dir, n)))
-    except (ValueError, ImportError) as e:
-        # no mp4 backend in this environment: keep the per-frame PNGs
-        # (the reference piped through a system ffmpeg, misc.py:303-331)
-        print(f"[viz] video writer unavailable ({e}); frames kept as PNGs")
-        return None
+    except (ValueError, ImportError):
+        # no mp4 backend in this environment (the reference piped through a
+        # system ffmpeg, misc.py:303-331): fall back to an animated GIF via
+        # the always-available Pillow backend
+        out = os.path.splitext(out)[0] + ".gif"
+        try:
+            with imageio.get_writer(
+                out, duration=1000.0 / max(fps, 1), loop=0
+            ) as w:
+                for n in names:
+                    w.append_data(imageio.imread(os.path.join(image_dir, n)))
+        except (ValueError, ImportError) as e:
+            print(f"[viz] no video/gif writer ({e}); frames kept as PNGs")
+            return None
     return out
 
 
