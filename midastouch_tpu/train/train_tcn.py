@@ -17,6 +17,7 @@ Run:
 
 from __future__ import annotations
 
+import functools
 import os
 import sys
 
@@ -108,6 +109,53 @@ def make_train_step(
         return params, new_stats, opt_state, loss
 
     return step
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_shift_px", "max_rot_deg")
+)
+def augment_canonical(
+    key: jax.Array,
+    inputs: jax.Array,  # (B, cs, cs, 2) canonical [pen, mask] patches
+    max_shift_px: float = 2.0,
+    max_rot_deg: float = 6.0,
+):
+    """Canonical-frame augmentation for canonicalized TCN inputs.
+
+    The canonical frame (ops/image.canonicalize_patch) is estimated from
+    image moments, so it carries two residual nuisances the geometry can't
+    remove: (a) a 180-degree ambiguity when the patch is skew-free, and
+    (b) small frame jitter when the TDN estimate perturbs the moments.
+    Training-time random 180-degree flips + small rotation/shift jitter
+    teach the embedding invariance to both."""
+    b, h, w, c = inputs.shape
+    k1, k2, k3 = jax.random.split(key, 3)
+    flip = jax.random.bernoulli(k1, 0.5, (b,))
+    ang = jax.random.uniform(
+        k2, (b,), minval=-np.radians(max_rot_deg), maxval=np.radians(max_rot_deg)
+    ) + flip * np.pi
+    shift = jax.random.uniform(
+        k3, (b, 2), minval=-max_shift_px, maxval=max_shift_px
+    )
+
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    ys, xs = jnp.mgrid[0:h, 0:w].astype(jnp.float32)
+
+    def one(x, a, s):
+        ca, sa = jnp.cos(a), jnp.sin(a)
+        sy = cy + (ys - cy) * ca - (xs - cx) * sa + s[0]
+        sx = cx + (ys - cy) * sa + (xs - cx) * ca + s[1]
+        return jnp.stack(
+            [
+                jax.scipy.ndimage.map_coordinates(
+                    x[..., ch], [sy, sx], order=1, mode="constant", cval=0.0
+                )
+                for ch in range(c)
+            ],
+            axis=-1,
+        )
+
+    return jax.vmap(one)(inputs, ang, shift)
 
 
 def pose_masks(positions: np.ndarray, pos_dist: float, neg_dist: float):
@@ -378,6 +426,9 @@ def train(
                 jnp.asarray(masks[b]),
             )
             inputs = tcn.model_inputs(kb, hm_b, mask_b)
+            if tcn.canonicalize and bool(tr.get("canonical_aug", True)):
+                key, kc = jax.random.split(key)
+                inputs = augment_canonical(kc, inputs)
             params, batch_stats, opt_state, loss = step(
                 params, batch_stats, opt_state,
                 inputs, jnp.asarray(pos_mask), jnp.asarray(neg_mask),

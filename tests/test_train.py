@@ -135,3 +135,27 @@ def test_kernel_alignment_loss_shapes_similarity():
     target = np.exp(-(d**2) / (2 * 5e-3**2))
     off = ~np.eye(16, dtype=bool)
     assert np.corrcoef(sims[off], target[off])[0, 1] > 0.7
+
+
+def test_augment_canonical_flip_and_jitter():
+    """180-deg flip augmentation: with jitter at zero magnitude the output
+    is either the patch or its exact 180-deg rotation; shapes/finiteness."""
+    import jax
+    import jax.numpy as jnp
+
+    from midastouch_tpu.train.train_tcn import augment_canonical
+
+    rng = np.random.default_rng(0)
+    x = rng.random((8, 24, 24, 2)).astype(np.float32)
+    out = np.asarray(augment_canonical(
+        jax.random.PRNGKey(3), jnp.asarray(x),
+        max_shift_px=0.0, max_rot_deg=0.0))
+    assert out.shape == x.shape and np.isfinite(out).all()
+    flipped = x[:, ::-1, ::-1, :]
+    for i in range(8):
+        d_id = np.abs(out[i] - x[i]).max()
+        d_fl = np.abs(out[i] - flipped[i]).max()
+        assert min(d_id, d_fl) < 1e-4, (i, d_id, d_fl)
+    # jitter produces valid, different patches
+    out2 = np.asarray(augment_canonical(jax.random.PRNGKey(4), jnp.asarray(x)))
+    assert np.isfinite(out2).all() and np.abs(out2 - x).max() > 1e-3
