@@ -13,6 +13,12 @@ import os
 def setup(cache_dir: str | None = None) -> None:
     import jax
 
+    if os.environ.get("MIDASTOUCH_FORCE_CPU") == "1":
+        # the axon TPU plugin re-pins JAX_PLATFORMS during import, so the
+        # usual env var silently fails — this is the reliable CPU escape
+        # hatch (used by scripts when the chip is busy with a training run)
+        jax.config.update("jax_platforms", "cpu")
+
     cache_dir = cache_dir or os.environ.get(
         "MIDASTOUCH_TPU_JAX_CACHE",
         os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(

@@ -83,7 +83,18 @@ def main():
         w = cb.similarity(code)[idx]
         return k + 0.0 * w[:, None]
 
+    ann = cb.build_ann_index(kind="windowed")
+    step_ann = FilterStep(pf, cb.astype_embeddings(jnp.bfloat16), floor=1000,
+                          ann_index=ann, ann_window=2048, ann_probes=2)
+
+    def ann_body(k):
+        idx = cb.se3_nn_idx(
+            state.q, state.t, ann_index=ann,
+        )
+        return k + 0.0 * idx.astype(jnp.float32)[:, None]
+
     window("exact NN (50k q x 50k keys)", nn_body, keys6)
+    window("windowed ANN", ann_body, keys6)
     window("se3_key (quat log)", key_body, state.q)
     window("similarity matvec", sim_body, code)
     window("NN + matvec + scalar gather", simgather_body, keys6)
@@ -106,6 +117,22 @@ def main():
                                  gt, jnp.bool_(False), jnp.bool_(True))
         return s
     window("FULL update (no cluster)", full, state)
+
+    cb16 = step_ann.codebook
+
+    def full_ann(s):
+        s, _ = step_ann._update_impl(
+            cb16, s, jax.random.PRNGKey(3), code, oq, ot,
+            gt, jnp.bool_(False), jnp.bool_(True))
+        return s
+    window("FULL update (windowed ANN, bf16)", full_ann, state)
+
+    def full_ann_cluster(s):
+        s, _ = step_ann._update_impl(
+            cb16, s, jax.random.PRNGKey(3), code, oq, ot,
+            gt, jnp.bool_(True), jnp.bool_(True))
+        return s
+    window("FULL update (ANN + cluster every)", full_ann_cluster, state)
 
 
 if __name__ == "__main__":
