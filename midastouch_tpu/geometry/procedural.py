@@ -186,6 +186,14 @@ TEST_OBJECTS = {
     ),
     # multi-scale blob (see bumpy_blob): the learned-pipeline flagship
     "boulder": lambda: bumpy_blob(),
+    # multi-scale siblings for the multi-object round (reference trains one
+    # TCN across 40 YCB objects, config/tcn/default.yaml:52-53)
+    "crag": lambda: bumpy_blob(
+        populations=((8, 0.22, 0.3, 0.55), (50, 0.05, 0.1, 0.2)), seed=23,
+    ),
+    "mound": lambda: bumpy_blob(
+        populations=((14, 0.12, 0.4, 0.8), (90, 0.025, 0.12, 0.3)), seed=29,
+    ),
 }
 
 
