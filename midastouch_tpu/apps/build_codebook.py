@@ -25,6 +25,51 @@ from midastouch_tpu.geometry.mesh import sample_poses_on_mesh
 from midastouch_tpu.utils.config import compose
 
 
+def _inputs_cache_path(obj_model: str) -> str:
+    return os.path.join(
+        os.path.dirname(common.codebook_path(obj_model)), "inputs_cache.npz"
+    )
+
+
+def reembed_codebook(cfg, obj_model: str | None = None, save: bool = True):
+    """Rebuild a codebook's EMBEDDINGS from the cached canonical model
+    inputs written by build_codebook — seconds instead of the ~hour of
+    re-rendering + TDN, for iterating on TCN weights. The cache is only
+    valid while the sensing stack in front of the TCN inputs (renderer,
+    TDN weights, canonical params) is unchanged; cache metadata guards the
+    canonical params."""
+    import jax.numpy as jnp
+
+    obj_model = obj_model or str(cfg.expt.obj_model)
+    path = _inputs_cache_path(obj_model)
+    z = np.load(path)
+    m = cfg.tcn.model
+    meta = (int(m.canonical_size), float(m.canonical_crop_px),
+            float(m.get("canonical_band_mm", 0.7)))
+    cached = tuple(z["canonical_params"])
+    if tuple(np.round(cached, 6)) != tuple(np.round(meta, 6)):
+        raise ValueError(
+            f"inputs cache {path} was built with canonical params {cached}, "
+            f"config says {meta}; rebuild the codebook"
+        )
+    from midastouch_tpu.models.tcn import TCN
+
+    tcn = TCN(cfg.tcn, cfg.tdn.render, compute_dtype=common.compute_dtype(cfg))
+    inputs = z["inputs"].astype(np.float32)
+    batch = int(m.batch_size)
+    embeddings = np.zeros((len(inputs), int(m.output_dim)), np.float32)
+    if tcn.arch == "PatchPCA" and not tcn.is_fitted:
+        tcn.fit_patch_pca(inputs)
+    for i in range(0, len(inputs), batch):
+        embeddings[i : i + batch] = np.asarray(
+            tcn.clouds_to_codes(jnp.asarray(inputs[i : i + batch]))
+        )
+    cb = Codebook.from_poses(z["gelposes"], z["camposes"], embeddings)
+    if save:
+        cb.save(common.codebook_path(obj_model))
+    return cb
+
+
 def build_codebook(
     cfg,
     obj_model: str | None = None,
@@ -63,12 +108,18 @@ def build_codebook(
             est_m = tdn.heightmaps2masks(est_h)
             hms, masks = np.asarray(est_h), np.asarray(est_m)
         key = jax.random.fold_in(jax.random.PRNGKey(seed), i)
-        if tcn.arch == "PatchPCA":
-            # embed after the loop: the projection is fitted on these very
-            # patches (self-supervised — no separate training run)
+        if tcn.canonicalize:
+            # keep the canonical model inputs: PatchPCA fits on them after
+            # the loop, and they are cached to disk so TCN-weight retrains
+            # can re-embed in seconds (reembed_codebook) instead of
+            # re-rendering the whole codebook
             pca_inputs.append(np.asarray(tcn.model_inputs(
                 key, jnp.asarray(hms, jnp.float32), jnp.asarray(masks > 0)
-            )))
+            ), np.float16))
+            if tcn.arch != "PatchPCA":
+                embeddings[sl] = np.asarray(tcn.clouds_to_codes(
+                    jnp.asarray(pca_inputs[-1].astype(np.float32))
+                ))
         else:
             embeddings[sl] = np.asarray(
                 tcn.cloud_to_tactile_code(hms, masks, key=key)
@@ -78,15 +129,28 @@ def build_codebook(
         print(f"\r{done}/{num_samples} ({rate:.1f} poses/s)", end="", flush=True)
     print()
 
-    if tcn.arch == "PatchPCA":
+    if tcn.canonicalize:
         inputs = np.concatenate(pca_inputs)
-        if not tcn.is_fitted:
-            tcn.fit_patch_pca(inputs, seed=seed)
-            print(f"fitted PatchPCA projection -> {tcn._weights_path}")
-        for i in range(0, num_samples, batch):
-            embeddings[i : i + batch] = np.asarray(
-                tcn.clouds_to_codes(jnp.asarray(inputs[i : i + batch]))
+        if tcn.arch == "PatchPCA":
+            if not tcn.is_fitted:
+                tcn.fit_patch_pca(inputs.astype(np.float32), seed=seed)
+                print(f"fitted PatchPCA projection -> {tcn._weights_path}")
+            for i in range(0, num_samples, batch):
+                embeddings[i : i + batch] = np.asarray(tcn.clouds_to_codes(
+                    jnp.asarray(inputs[i : i + batch].astype(np.float32))
+                ))
+        if save:
+            m = cfg.tcn.model
+            cache = _inputs_cache_path(obj_model)
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            np.savez_compressed(
+                cache, inputs=inputs, gelposes=gelposes, camposes=camposes,
+                canonical_params=np.asarray([
+                    int(m.canonical_size), float(m.canonical_crop_px),
+                    float(m.get("canonical_band_mm", 0.7)),
+                ], np.float64),
             )
+            print(f"cached canonical inputs -> {cache}")
 
     cb = Codebook.from_poses(gelposes, camposes, embeddings)
     if save:

@@ -420,11 +420,15 @@ def train(
             b = np.concatenate([b, extra])
             pos_mask, neg_mask = pose_masks(positions[b], pos_dist, neg_dist)
             key, ka, kb = jax.random.split(key, 3)
-            hm_b, mask_b = augment_heightmaps(
-                ka,
-                jnp.asarray(heightmaps[b], dtype=jnp.float32),
-                jnp.asarray(masks[b]),
-            )
+            if bool(tr.get("tdn_noise_aug", True)):
+                hm_b, mask_b = augment_heightmaps(
+                    ka,
+                    jnp.asarray(heightmaps[b], dtype=jnp.float32),
+                    jnp.asarray(masks[b]),
+                )
+            else:
+                hm_b = jnp.asarray(heightmaps[b], dtype=jnp.float32)
+                mask_b = jnp.asarray(masks[b])
             inputs = tcn.model_inputs(kb, hm_b, mask_b)
             if tcn.canonicalize and bool(tr.get("canonical_aug", True)):
                 key, kc = jax.random.split(key)

@@ -205,7 +205,7 @@ def test_build_codebook_patch_pca(workspace, cfg):
         "tcn.model.tcn_weights=patch_pca_sphere.npz",
         "expt.codebook_size=120",
     ])
-    cb = build_codebook(cfg2, use_gt_heightmaps=True, seed=2, save=False)
+    cb = build_codebook(cfg2, use_gt_heightmaps=True, seed=2, save=True)
     emb = np.asarray(cb.embeddings)
     np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-4)
     wpath = os.path.join(misc.DIRS["weights"], "patch_pca_sphere.npz")
@@ -214,3 +214,13 @@ def test_build_codebook_patch_pca(workspace, cfg):
     # reload and re-embed one batch: identical codes through the saved fit
     tcn = TCN(cfg2.tcn, cfg2.tdn.render)
     assert tcn.is_fitted
+
+    # re-embedding from the cached canonical inputs reproduces the codebook
+    # (float16 cache: embeddings match to cache precision)
+    from midastouch_tpu.apps.build_codebook import reembed_codebook
+
+    cb2 = reembed_codebook(cfg2, save=False)
+    np.testing.assert_allclose(
+        np.asarray(cb2.embeddings), emb, atol=2e-2
+    )
+    assert np.mean(np.sum(np.asarray(cb2.embeddings) * emb, axis=1)) > 0.999
