@@ -50,6 +50,30 @@ def batch_hard_triplet_loss(
     return jnp.sum(loss * valid) / jnp.maximum(jnp.sum(valid), 1.0)
 
 
+def supcon_loss(
+    emb: jax.Array, pos_mask: jax.Array, neg_mask: jax.Array,
+    temperature: float = 0.07,
+) -> jax.Array:
+    """Supervised InfoNCE over L2-normalized embeddings: per anchor,
+    -log( sum_pos exp(s/T) / sum_{pos+neg} exp(s/T) ).
+
+    Batch-hard triplet has a ZERO gradient at the fully collapsed embedding
+    (hardest positive and hardest negative move together; loss pins at the
+    margin) — which is exactly where training starts (measured init
+    random-pair cosine 0.99) and where the round-2 runs stalled. The
+    softmax form keeps a finite separating gradient there, which is why
+    contrastive retrieval training moved to it (e.g. MinkLoc3Dv2)."""
+    s = emb @ emb.T / temperature
+    cand = pos_mask | neg_mask
+    s = jnp.where(cand, s, -jnp.inf)
+    lse_all = jax.scipy.special.logsumexp(s, axis=1)
+    s_pos = jnp.where(pos_mask, s, -jnp.inf)
+    lse_pos = jax.scipy.special.logsumexp(s_pos, axis=1)
+    valid = pos_mask.any(axis=1) & neg_mask.any(axis=1)
+    per = jnp.where(valid, lse_all - lse_pos, 0.0)
+    return jnp.sum(per) / jnp.maximum(jnp.sum(valid), 1.0)
+
+
 def kernel_alignment_loss(
     emb: jax.Array, positions: jax.Array, sigma: float
 ) -> jax.Array:
@@ -75,6 +99,8 @@ def kernel_alignment_loss(
 def make_train_step(
     tcn: TCN, tx, margin: float,
     kernel_weight: float = 0.0, kernel_sigma: float = 5e-3,
+    loss_name: str = "BatchHardTripletMarginLoss",
+    temperature: float = 0.07,
 ):
     """(params, batch_stats, opt_state, inputs, pos_mask, neg_mask,
     positions) -> ... dp-shardable over the batch dim. `inputs` are
@@ -91,7 +117,10 @@ def make_train_step(
         )
         emb = emb / jnp.maximum(jnp.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
         new_stats = mutated.get("batch_stats", batch_stats)
-        loss = batch_hard_triplet_loss(emb, pos_mask, neg_mask, margin)
+        if loss_name == "InfoNCE":
+            loss = supcon_loss(emb, pos_mask, neg_mask, temperature)
+        else:
+            loss = batch_hard_triplet_loss(emb, pos_mask, neg_mask, margin)
         if kernel_weight > 0.0:
             loss = loss + kernel_weight * kernel_alignment_loss(
                 emb, positions, kernel_sigma
@@ -370,6 +399,8 @@ def train(
         tcn, tx, margin,
         kernel_weight=float(tr.get("kernel_loss_weight", 0.0)),
         kernel_sigma=float(tr.get("kernel_sigma", 5e-3)),
+        loss_name=str(tr.get("loss", "BatchHardTripletMarginLoss")),
+        temperature=float(tr.get("temperature", 0.07)),
     )
 
     rng = np.random.default_rng(seed)

@@ -159,3 +159,37 @@ def test_augment_canonical_flip_and_jitter():
     # jitter produces valid, different patches
     out2 = np.asarray(augment_canonical(jax.random.PRNGKey(4), jnp.asarray(x)))
     assert np.isfinite(out2).all() and np.abs(out2 - x).max() > 1e-3
+
+
+def test_supcon_loss_gradient_alive_at_collapse():
+    """Batch-hard triplet has zero gradient at the collapsed embedding
+    (loss pins at margin); supcon keeps a finite separating gradient —
+    the property that unsticks TCN training."""
+    import jax
+    import jax.numpy as jnp
+
+    from midastouch_tpu.train.train_tcn import (
+        batch_hard_triplet_loss, supcon_loss,
+    )
+
+    n, e = 16, 8
+    base = jnp.ones((n, e)) / np.sqrt(e)
+    # nearly collapsed: tiny random perturbation then renormalize
+    pert = 1e-4 * jax.random.normal(jax.random.PRNGKey(0), (n, e))
+    emb = base + pert
+    emb = emb / jnp.linalg.norm(emb, axis=1, keepdims=True)
+    pos = np.zeros((n, n), bool)
+    pos[np.arange(0, n, 2), np.arange(1, n, 2)] = True
+    pos |= pos.T
+    neg = ~pos & ~np.eye(n, dtype=bool)
+    pos, neg = jnp.asarray(pos), jnp.asarray(neg)
+
+    g_trip = jax.grad(
+        lambda x: batch_hard_triplet_loss(x, pos, neg, 0.2))(emb)
+    g_sup = jax.grad(lambda x: supcon_loss(x, pos, neg))(emb)
+    assert float(jnp.abs(g_sup).max()) > 10 * float(jnp.abs(g_trip).max())
+
+    # and supcon is minimized by correct separation
+    good = jnp.asarray(np.repeat(np.eye(n // 2, e)[: n // 2], 2, axis=0))
+    good = good / jnp.linalg.norm(good, axis=1, keepdims=True)
+    assert float(supcon_loss(good, pos, neg)) < float(supcon_loss(emb, pos, neg))
