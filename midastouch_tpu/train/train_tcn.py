@@ -57,12 +57,13 @@ def supcon_loss(
     """Supervised InfoNCE over L2-normalized embeddings: per anchor,
     -log( sum_pos exp(s/T) / sum_{pos+neg} exp(s/T) ).
 
-    Batch-hard triplet has a ZERO gradient at the fully collapsed embedding
-    (hardest positive and hardest negative move together; loss pins at the
-    margin) — which is exactly where training starts (measured init
-    random-pair cosine 0.99) and where the round-2 runs stalled. The
-    softmax form keeps a finite separating gradient there, which is why
-    contrastive retrieval training moved to it (e.g. MinkLoc3Dv2)."""
+    Softmax-form contrastive alternative to batch-hard triplet (the form
+    retrieval training largely moved to, e.g. MinkLoc3Dv2). NOTE: at a
+    near-collapsed embedding both losses keep finite gradients (the
+    1e-6-smoothed distance bounds the triplet grad; measured |grad|
+    triplet 3.3e-2 vs supcon 3.8e-4 at collapse) — the choice between
+    them is settled by measured single-touch numbers, not by a
+    gradient-at-collapse argument."""
     s = emb @ emb.T / temperature
     cand = pos_mask | neg_mask
     s = jnp.where(cand, s, -jnp.inf)

@@ -161,10 +161,13 @@ def test_augment_canonical_flip_and_jitter():
     assert np.isfinite(out2).all() and np.abs(out2 - x).max() > 1e-3
 
 
-def test_supcon_loss_gradient_alive_at_collapse():
-    """Batch-hard triplet has zero gradient at the collapsed embedding
-    (loss pins at margin); supcon keeps a finite separating gradient —
-    the property that unsticks TCN training."""
+def test_contrastive_losses_well_posed():
+    """Property tests for both TCN losses: finite gradients at a
+    near-collapsed embedding, and both minimized by correct separation.
+    (The loss CHOICE is an empirical question settled by measured
+    single-touch numbers, not by a gradient argument — an earlier version
+    of this test asserted supcon's collapse gradient dominates triplet's,
+    which its own numbers falsified.)"""
     import jax
     import jax.numpy as jnp
 
@@ -187,9 +190,15 @@ def test_supcon_loss_gradient_alive_at_collapse():
     g_trip = jax.grad(
         lambda x: batch_hard_triplet_loss(x, pos, neg, 0.2))(emb)
     g_sup = jax.grad(lambda x: supcon_loss(x, pos, neg))(emb)
-    assert float(jnp.abs(g_sup).max()) > 10 * float(jnp.abs(g_trip).max())
+    assert np.isfinite(np.asarray(g_trip)).all()
+    assert np.isfinite(np.asarray(g_sup)).all()
+    assert float(jnp.abs(g_sup).max()) > 0.0
+    assert float(jnp.abs(g_trip).max()) > 0.0
 
-    # and supcon is minimized by correct separation
+    # both losses are lower at correct separation than at collapse
     good = jnp.asarray(np.repeat(np.eye(n // 2, e)[: n // 2], 2, axis=0))
     good = good / jnp.linalg.norm(good, axis=1, keepdims=True)
     assert float(supcon_loss(good, pos, neg)) < float(supcon_loss(emb, pos, neg))
+    assert float(
+        batch_hard_triplet_loss(good, pos, neg, 0.2)
+    ) < float(batch_hard_triplet_loss(emb, pos, neg, 0.2))
