@@ -31,6 +31,42 @@ def _inputs_cache_path(obj_model: str) -> str:
     )
 
 
+def _canonical_params(m) -> tuple:
+    return (
+        int(m.canonical_size),
+        float(m.canonical_crop_px),
+        float(m.get("canonical_band_mm", 0.7)),
+        float(bool(m.get("canonical_rectify", False))),
+    )
+
+
+def _stack_fingerprint(cfg, use_gt_heightmaps: bool) -> str:
+    """Hash of everything in FRONT of the cached TCN inputs: the TDN weight
+    file bytes, the render config, and the GT/estimated path choice. A
+    stale cache (TDN retrained, lighting changed, pen/pixmm edited) would
+    otherwise silently produce a codebook that disagrees with the live
+    sensing stack."""
+    import hashlib
+
+    from midastouch_tpu.utils.misc import DIRS
+
+    r = cfg.tdn.render
+    h = hashlib.sha256()
+    h.update(repr((
+        float(r.pixmm), float(r.cam_dist), int(r.height), int(r.width),
+        float(r.pen.min), float(r.pen.max), float(r.get("shear_mag", 5.0)),
+        float(r.get("yfov_deg", 60.0)), bool(use_gt_heightmaps),
+    )).encode())
+    if not use_gt_heightmaps:
+        wpath = os.path.join(DIRS["weights"], str(cfg.tdn.tdn_weights))
+        if os.path.exists(wpath):
+            with open(wpath, "rb") as fh:
+                h.update(fh.read())
+        else:
+            h.update(b"no-tdn-weights")
+    return h.hexdigest()
+
+
 def reembed_codebook(cfg, obj_model: str | None = None, save: bool = True):
     """Rebuild a codebook's EMBEDDINGS from the cached canonical model
     inputs written by build_codebook — seconds instead of the ~hour of
@@ -44,14 +80,25 @@ def reembed_codebook(cfg, obj_model: str | None = None, save: bool = True):
     path = _inputs_cache_path(obj_model)
     z = np.load(path)
     m = cfg.tcn.model
-    meta = (int(m.canonical_size), float(m.canonical_crop_px),
-            float(m.get("canonical_band_mm", 0.7)))
+    meta = _canonical_params(m)
     cached = tuple(z["canonical_params"])
+    if len(cached) < len(meta):  # pre-rectify caches: rectify was off
+        cached = cached + (0.0,) * (len(meta) - len(cached))
     if tuple(np.round(cached, 6)) != tuple(np.round(meta, 6)):
         raise ValueError(
             f"inputs cache {path} was built with canonical params {cached}, "
             f"config says {meta}; rebuild the codebook"
         )
+    if "stack_fingerprint" in z:
+        gt = bool(z["use_gt_heightmaps"]) if "use_gt_heightmaps" in z else False
+        want = str(z["stack_fingerprint"])
+        have = _stack_fingerprint(cfg, use_gt_heightmaps=gt)
+        if want != have:
+            raise ValueError(
+                f"inputs cache {path} was built with a different sensing "
+                "stack (TDN weights or render config changed); rebuild the "
+                "codebook"
+            )
     from midastouch_tpu.models.tcn import TCN
 
     tcn = TCN(cfg.tcn, cfg.tdn.render, compute_dtype=common.compute_dtype(cfg))
@@ -145,10 +192,11 @@ def build_codebook(
             os.makedirs(os.path.dirname(cache), exist_ok=True)
             np.savez_compressed(
                 cache, inputs=inputs, gelposes=gelposes, camposes=camposes,
-                canonical_params=np.asarray([
-                    int(m.canonical_size), float(m.canonical_crop_px),
-                    float(m.get("canonical_band_mm", 0.7)),
-                ], np.float64),
+                canonical_params=np.asarray(_canonical_params(m), np.float64),
+                stack_fingerprint=np.asarray(
+                    _stack_fingerprint(cfg, use_gt_heightmaps)
+                ),
+                use_gt_heightmaps=np.asarray(use_gt_heightmaps),
             )
             print(f"cached canonical inputs -> {cache}")
 

@@ -71,6 +71,9 @@ class TCN:
         # press-depth-invariant band (mm of relief below the deepest contact
         # point; 0 disables) — see ops/image.depth_band for why
         self.canonical_band_mm = float(m.get("canonical_band_mm", 0.7))
+        # shear-tilt rectification (remove the best-fit in-support plane
+        # ramp before banding) — see ops/image.rectify_tilt for why
+        self.canonical_rectify = bool(m.get("canonical_rectify", False))
 
         self.pixmm = float(render_cfg.pixmm)
         self.cam_dist = float(render_cfg.cam_dist)
@@ -176,6 +179,8 @@ class TCN:
 
             cs, crop = self.canonical_size, self.canonical_crop_px
             hm32 = heightmaps.astype(jnp.float32)
+            if self.canonical_rectify:
+                hm32, masks = jax.vmap(image_ops.rectify_tilt)(hm32, masks)
             if self.canonical_band_mm > 0:
                 band_px = self.canonical_band_mm / self.pixmm
                 hm32, masks = jax.vmap(

@@ -128,6 +128,50 @@ def scale_to_unit(points: jax.Array) -> jax.Array:
     return 2.0 * (points - mn) / jnp.maximum(mx - mn, 1e-12) - 1.0
 
 
+@jax.jit
+def rectify_tilt(hm: jax.Array, mask: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Remove the best-fit in-support plane ramp from a contact heightmap.
+
+    Codebook/eval poses are sampled with a random shear tilt of up to
+    +-shear_mag degrees off the surface normal (pose_from_vertex_normal,
+    reference modules/pose.py:375-455). A 5-degree tilt across a ~7 mm
+    contact patch adds a +-0.6 mm linear ramp to the penetration image —
+    the size of the entire sub-mm relief signal — which measurably destroys
+    appearance-space retrieval (scripts/diagnose_embedding.py: 79% -> 11%
+    top-1 site accuracy). Fitting and subtracting the support-weighted
+    least-squares plane is the 2-D small-angle approximation of rotating
+    the local patch into its own reference frame: it removes the tilt DOF
+    while preserving the relief (surface curvature and features) exactly
+    to first order.
+
+    The plane's constant term (mean penetration) is kept so downstream
+    press-depth handling (depth_band) is unchanged. Returns the rectified
+    heightmap (zero outside the support) and the support mask.
+    """
+    h, w = hm.shape
+    z = jnp.maximum(hm, 0.0) * mask.astype(hm.dtype)
+    sup = (z > 1e-6).astype(hm.dtype)
+    n = jnp.maximum(jnp.sum(sup), 1.0)
+    ys, xs = jnp.mgrid[0:h, 0:w].astype(hm.dtype)
+    cx = jnp.sum(sup * xs) / n
+    cy = jnp.sum(sup * ys) / n
+    dx = (xs - cx) * sup
+    dy = (ys - cy) * sup
+    # normal equations for z ~ a*dx + b*dy (+ mean) over the support
+    sxx = jnp.sum(dx * dx)
+    syy = jnp.sum(dy * dy)
+    sxy = jnp.sum(dx * dy)
+    szx = jnp.sum(z * dx)
+    szy = jnp.sum(z * dy)
+    det = sxx * syy - sxy * sxy
+    safe = jnp.abs(det) > 1e-9
+    a = jnp.where(safe, (szx * syy - szy * sxy) / jnp.where(safe, det, 1.0), 0.0)
+    b = jnp.where(safe, (szy * sxx - szx * sxy) / jnp.where(safe, det, 1.0), 0.0)
+    ramp = a * (xs - cx) + b * (ys - cy)
+    out = jnp.where(sup > 0, z - ramp, 0.0)
+    return out, sup > 0
+
+
 @functools.partial(jax.jit, static_argnames=("band_px", "top_k"))
 def depth_band(
     hm: jax.Array,  # (H, W) gel-frame penetration heightmap, px units

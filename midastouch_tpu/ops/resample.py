@@ -90,8 +90,15 @@ def systematic_resample(
     stride = max(int(round(num_samples * 0.6180339887)), 1)
     while _gcd(stride, num_samples) != 1:
         stride += 1
+    # positions via a modular-add scan, NOT i*stride % N: the product
+    # overflows int32 for N >= ~59k (stride ~ 0.618*N), silently breaking
+    # the permutation. Modular addition keeps every intermediate < 2N.
+    assert num_samples < 2**30, "systematic_resample: num_samples too large"
     r = jax.random.randint(k_perm, (), 0, num_samples)
-    pos = (jnp.arange(num_samples, dtype=jnp.int32) * stride + r) % num_samples
+    inc = jnp.full((num_samples,), stride % num_samples, jnp.int32).at[0].set(r)
+    pos = jax.lax.associative_scan(
+        lambda a, b: (a + b) % num_samples, inc
+    )
     return idx[pos]
 
 

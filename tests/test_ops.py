@@ -318,3 +318,95 @@ def test_depth_band_anchor_robust_to_spike():
     # top-64 mean anchor moves < 8 px despite the 500 px outlier
     diff = np.abs(np.asarray(b_clean) - np.asarray(b_spiked))
     assert np.median(diff[np.asarray(bump) > 30]) < 8.0
+
+
+# -- rectify_tilt (shear-tilt plane removal) -----------------------------------
+
+def _tilted_touch(slope_x, slope_y, press_px=12.0, h=240, w=320):
+    """Synthetic penetration image: fixed surface relief + a shear-tilt
+    plane ramp + a press-depth offset, supported on the contact disc."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    # gentle sub-band relief (a few px over the patch), as on real smooth
+    # surfaces — the +-5 deg ramp is then the DOMINANT image structure
+    relief = 6.0 * np.exp(-(((yy - 128) / 34) ** 2 + ((xx - 150) / 46) ** 2))
+    relief += 4.0 * np.exp(-(((yy - 100) / 18) ** 2 + ((xx - 190) / 22) ** 2))
+    ramp = slope_x * (xx - 160) + slope_y * (yy - 120)
+    disc = ((yy - 120) ** 2 + (xx - 160) ** 2) < 95.0**2
+    z = np.maximum(relief + ramp + press_px, 0.0) * disc
+    return z.astype(np.float32), z > 0
+
+
+def test_rectify_tilt_removes_plane_ramp():
+    """On relief+ramp, the rectified output equals relief + const on the
+    support (the ramp DOF is gone)."""
+    from midastouch_tpu.ops import image
+
+    z0, m0 = _tilted_touch(0.0, 0.0)
+    z1, m1 = _tilted_touch(0.06, -0.04)  # ~3.4 deg / 2.3 deg tilt
+    r1, _ = image.rectify_tilt(jnp.asarray(z1), jnp.asarray(m1))
+    r1 = np.asarray(r1)
+    both = m0 & m1
+    # difference to the untilted touch is a constant on the shared support
+    d = (r1 - z0)[both]
+    assert d.std() < 0.8, f"residual ramp std {d.std():.2f} px"
+
+
+def test_rectify_tilt_restores_canonical_patch_match():
+    """The end-to-end diagnosis in miniature: two touches at the same site
+    with different shear tilts + press depths produce nearly uncorrelated
+    banded canonical patches WITHOUT rectification and nearly identical
+    ones WITH it (scripts/diagnose_embedding.py measures the same effect
+    at population scale: 11% -> strong top-1 site accuracy)."""
+    from midastouch_tpu.ops import image
+
+    band_px = 0.7 / 0.03
+
+    def patch(slope_x, slope_y, press, rectify):
+        z, m = _tilted_touch(slope_x, slope_y, press_px=press)
+        z, m = jnp.asarray(z), jnp.asarray(m)
+        if rectify:
+            z, m = image.rectify_tilt(z, m)
+        zb, mb = image.depth_band(z, m, band_px=band_px)
+        return np.asarray(
+            image.canonicalize_patch(zb, mb, out_h=48, out_w=48)
+        ).ravel()
+
+    def corr(a, b):
+        a, b = a - a.mean(), b - b.mean()  # Pearson: the discriminative part
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    # +-5 deg shear ~ +-0.0875 px/px slope; press varies 0.36 vs 0.6 mm
+    args = ((0.08, 0.03, 12.0), (-0.05, -0.07, 20.0))
+    c_raw = corr(patch(*args[0], rectify=False), patch(*args[1], rectify=False))
+    c_fix = corr(patch(*args[0], rectify=True), patch(*args[1], rectify=True))
+    assert c_fix > 0.85, f"rectified corr {c_fix:.3f}"
+    assert c_fix > c_raw + 0.1, f"rectify no help: {c_raw:.3f} -> {c_fix:.3f}"
+
+
+def test_rectify_tilt_empty_and_degenerate_masks_finite():
+    from midastouch_tpu.ops import image
+
+    z = np.zeros((240, 320), np.float32)
+    out, m = image.rectify_tilt(jnp.asarray(z), jnp.asarray(z > 1))
+    assert np.all(np.isfinite(np.asarray(out))) and not bool(np.any(m))
+    # single-pixel support: det == 0 path
+    z[100, 100] = 5.0
+    out, _ = image.rectify_tilt(jnp.asarray(z), jnp.asarray(z > 0))
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_systematic_resample_large_n_is_permutation():
+    """Regression: at N >= ~59k the old i*stride % N position spread
+    overflowed int32 and silently duplicated/dropped particles. With
+    uniform weights every parent has exactly one offspring, so the output
+    must be a permutation of arange(N) — at N safely past the overflow
+    point."""
+    from midastouch_tpu.ops import resample
+
+    for n in (59_000, 100_000):
+        idx = np.asarray(resample.systematic_resample(
+            jax.random.PRNGKey(0), jnp.ones((n,)) / n, n
+        ))
+        assert np.array_equal(np.sort(idx), np.arange(n)), f"N={n}"
+        # prefix-exchangeability: any prefix draws ~uniformly over parents
+        assert abs(idx[: n // 10].mean() / n - 0.5) < 0.05
