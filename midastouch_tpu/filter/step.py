@@ -75,8 +75,15 @@ class FilterStep:
         self.drift_from_codebook = drift_from_codebook
         if drift_from_codebook:
             # widen the gate on sparse codebooks: an on-surface particle is
-            # only as close to its NN entry as the codebook's own spacing
-            t = codebook.t[: min(1024, len(codebook))]
+            # only as close to its NN entry as the codebook's own spacing.
+            # Spacing is estimated from an even stride over the WHOLE book
+            # (a head slice is spatially biased when pose sampling is
+            # structured, e.g. edges-first), and the threshold is widened
+            # when an approximate ANN index serves the NN query — an ANN
+            # recall miss inflates the measured distance and must not zero
+            # a live particle's weight.
+            stride = max(len(codebook) // 1024, 1)
+            t = codebook.t[::stride][:1024]
             d2 = (
                 jnp.sum(t * t, 1)[:, None]
                 - 2.0 * (t @ codebook.t.T)
@@ -84,7 +91,8 @@ class FilterStep:
             )
             d2 = jnp.where(d2 <= 1e-12, jnp.inf, d2)
             spacing = jnp.quantile(jnp.sqrt(jnp.min(d2, axis=1)), 0.95)
-            self._drift_thresh = max(
+            ann_slack = 1.5 if ann_index is not None else 1.0
+            self._drift_thresh = ann_slack * max(
                 float(pf.params.pen_max), 2.0 * float(spacing)
             )
         # sim path softmaxes similarity weights (filter.py:172); the real

@@ -194,6 +194,11 @@ TEST_OBJECTS = {
     "mound": lambda: bumpy_blob(
         populations=((14, 0.12, 0.4, 0.8), (90, 0.025, 0.12, 0.3)), seed=29,
     ),
+    # boulder's exact displacement field at icosphere subdivision 7 —
+    # 327,680 faces, the high-poly robustness stand-in for YCB
+    # nontextured.stl scans (reference filter.py:70-81): same surface,
+    # so boulder renders are the oracle for cull/pipeline validation
+    "megalith": lambda: bumpy_blob(subdivisions=7),
 }
 
 

@@ -257,12 +257,19 @@ def build_touch_bank(
     cfg, obj_model: str, n_samples: int, seed: int = 0,
     positive_jitter_t: float = 7e-4, positive_jitter_r_deg: float = 3.0,
     near_negative_dist: tuple[float, float] | None = None,
+    independent_positives: bool = True,
 ):
     """Render touch GROUPS -> (heightmaps f16, masks, positions). Entries
     come in groups of 3: (anchor, positive, near-negative):
 
-      * positive  — anchor pose with mm-scale SE(3) jitter (contact adapts
-        via the renderer's over-pen compensation),
+      * positive  — with `independent_positives` (default): a FRESH touch
+        pose synthesized at the same surface site — new yaw, new shear
+        tilt, new press depth. The filter's retrieval problem is exactly
+        "same site, independent nuisances" (the codebook and the query
+        never share nuisance draws); jitter-positives (the round-2 recipe,
+        kept as `independent_positives=False`) share the anchor's yaw/tilt
+        and therefore never teach the invariance that
+        scripts/diagnose_embedding.py shows is the failure mode,
       * near-negative — a touch re-projected onto the surface at a tangent
         offset just beyond `neg_dist` (default 1.2-3x), i.e. at the 10-30 mm
         aliasing scale retrieval actually has to resolve.
@@ -288,21 +295,41 @@ def build_touch_bank(
     lo, hi = near_negative_dist or (1.2 * neg_dist, 3.0 * neg_dist)
 
     n_anchor = max(n_samples // 3, 1)
-    anchors = sample_poses_on_mesh(
-        mesh, n_anchor, rng, edges=True,
-        shear_mag_deg=float(cfg.tdn.render.shear_mag),
-    )
-    # positives: anchor pose with small SE(3) jitter
-    tn = rng.normal(0, positive_jitter_t, (n_anchor, 3)).astype(np.float32)
-    rn = np.radians(rng.normal(0, positive_jitter_r_deg, (n_anchor, 3))).astype(
-        np.float32
-    )
-    Rn = np.asarray(se3.euler_to_matrix(_jax.numpy.asarray(rn), "ZYX"))
-    Tn = np.zeros((n_anchor, 4, 4), np.float32)
-    Tn[:, :3, :3] = Rn
-    Tn[:, :3, 3] = tn
-    Tn[:, 3, 3] = 1.0
-    positives = anchors @ Tn
+    shear = float(cfg.tdn.render.shear_mag)
+    if independent_positives:
+        # sample SITES (30% from feature edges, like sample_poses_on_mesh)
+        # and synthesize anchor + positive poses independently at each
+        n_edge = int(0.3 * n_anchor)
+        ep, en, n_edge = mesh.sample_edges(n_edge, rng)
+        sp, sn = mesh.sample_surface(n_anchor - n_edge, rng)
+        pts = np.concatenate([sp, ep], axis=0)
+        nrm = np.concatenate([sn, en], axis=0)
+
+        def fresh_poses(s):
+            delta = rng.uniform(0, 2 * np.pi, n_anchor).astype(np.float32)
+            return np.asarray(se3.pose_from_vertex_normal(
+                _jax.numpy.asarray(pts), _jax.numpy.asarray(nrm),
+                float(np.radians(shear)), _jax.numpy.asarray(delta),
+                _jax.random.PRNGKey(seed + s),
+            ))
+
+        anchors = fresh_poses(10_000)
+        positives = fresh_poses(20_000)
+    else:
+        anchors = sample_poses_on_mesh(
+            mesh, n_anchor, rng, edges=True, shear_mag_deg=shear,
+        )
+        # positives: anchor pose with small SE(3) jitter (round-2 recipe)
+        tn = rng.normal(0, positive_jitter_t, (n_anchor, 3)).astype(np.float32)
+        rn = np.radians(
+            rng.normal(0, positive_jitter_r_deg, (n_anchor, 3))
+        ).astype(np.float32)
+        Rn = np.asarray(se3.euler_to_matrix(_jax.numpy.asarray(rn), "ZYX"))
+        Tn = np.zeros((n_anchor, 4, 4), np.float32)
+        Tn[:, :3, :3] = Rn
+        Tn[:, :3, 3] = tn
+        Tn[:, 3, 3] = 1.0
+        positives = anchors @ Tn
 
     # near-negatives: walk a random tangent direction from the anchor's
     # contact by U(lo, hi), re-project to the nearest surface vertex and
@@ -361,7 +388,15 @@ def train(
     seed: int = 0,
     out_path: str | None = None,
     log_every: int = 5,
+    eval_fn=None,
+    eval_every: int = 5,
+    banks: list | None = None,
 ):
+    """`eval_fn(variables) -> dict` is called every `eval_every` epochs
+    (and at the end) with the current weights — the measurement-first hook:
+    wire a single-touch scorer here so every recipe change lands with a
+    number. `banks` overrides the rendered touch banks (reuse across
+    runs)."""
     tr = cfg.tcn.train
     m = cfg.tcn.model
     batch_size = int(tr.batch_size)
@@ -369,10 +404,14 @@ def train(
     pos_dist, neg_dist = float(tr.pos_dist), float(tr.neg_dist)
 
     obj_models = obj_models or [str(cfg.expt.obj_model)]
-    banks = [
-        build_touch_bank(cfg, o, n_samples // len(obj_models), seed)
-        for o in obj_models
-    ]
+    if banks is None:
+        banks = [
+            build_touch_bank(
+                cfg, o, n_samples // len(obj_models), seed,
+                independent_positives=bool(tr.get("site_positives", True)),
+            )
+            for o in obj_models
+        ]
     heightmaps = np.concatenate([b[0] for b in banks])
     masks = np.concatenate([b[1] for b in banks])
     positions = np.concatenate([b[2] for b in banks])
@@ -474,7 +513,13 @@ def train(
         losses = [float(x) for x in jax.device_get(losses)]
         history.append({"epoch": epoch, "loss": float(np.mean(losses))})
         if epoch % log_every == 0 or epoch == epochs - 1:
-            print(f"epoch {epoch}: triplet loss {np.mean(losses):.4f}", flush=True)
+            print(f"epoch {epoch}: loss {np.mean(losses):.4f}", flush=True)
+        if eval_fn is not None and (
+            epoch % eval_every == eval_every - 1 or epoch == epochs - 1
+        ):
+            metrics = eval_fn({"params": params, "batch_stats": batch_stats})
+            history[-1].update(metrics)
+            print(f"  eval @ epoch {epoch}: {metrics}", flush=True)
         save_variables(out_path, {"params": params, "batch_stats": batch_stats})
     print(f"saved TCN weights -> {out_path}")
     import json

@@ -34,7 +34,7 @@ misc_obj_models = ["grey_pitcher", "blue_shoe", "white_binder"]
 # procedural assets shipped with this framework (geometry/procedural.py)
 procedural_models = [
     "sphere", "box", "cylinder", "potato", "rock", "pebble", "boulder",
-    "crag", "mound",
+    "crag", "mound", "megalith",
 ]
 
 

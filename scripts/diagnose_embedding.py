@@ -64,9 +64,9 @@ def _press(n, random_press, seed, lo=0.0005, hi=0.002):
     return np.full(n, 0.0015, np.float32)
 
 
-def _patches(hms, masks, rectify: bool):
+def _patches(hms, masks, rectify: bool, band_mm: float = BAND_MM):
     """(N, cs, cs, 2) banded canonical patches."""
-    band_px = BAND_MM / PIXMM
+    band_px = band_mm / PIXMM
 
     @jax.jit
     def one(hm, mask):
@@ -93,40 +93,40 @@ def _flat_norm(x):
     return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
 
 
-@jax.jit
-def _rotate_patches(patches: jnp.ndarray, angles: jnp.ndarray):
-    """Rotate (N, cs, cs, C) patches about their center by each angle ->
-    (K, N, cs, cs, C)."""
-    n, h, w, c = patches.shape
-    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-    ys, xs = jnp.mgrid[0:h, 0:w].astype(jnp.float32)
+def _bilinear(img, sy, sx):
+    """Host bilinear sampling of (H, W) at float coords, zero outside."""
+    h, w = img.shape
+    y0 = np.floor(sy).astype(int)
+    x0 = np.floor(sx).astype(int)
+    fy, fx = sy - y0, sx - x0
 
-    def rot(a):
-        ca, sa = jnp.cos(a), jnp.sin(a)
-        sy = cy + (ys - cy) * ca - (xs - cx) * sa
-        sx = cx + (ys - cy) * sa + (xs - cx) * ca
+    def at(yy, xx):
+        ok = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+        return np.where(ok, img[np.clip(yy, 0, h - 1), np.clip(xx, 0, w - 1)], 0.0)
 
-        def one(x):
-            return jnp.stack([
-                jax.scipy.ndimage.map_coordinates(
-                    x[..., ch], [sy, sx], order=1, mode="constant", cval=0.0
-                ) for ch in range(c)
-            ], axis=-1)
-
-        return jax.vmap(one)(patches)
-
-    return jax.vmap(rot)(angles)
+    return ((1 - fy) * (1 - fx) * at(y0, x0) + (1 - fy) * fx * at(y0, x0 + 1)
+            + fy * (1 - fx) * at(y0 + 1, x0) + fy * fx * at(y0 + 1, x0 + 1))
 
 
 def _rotmax_retrieve(xa_p, xb_p, k_rot: int):
-    """Max-over-rotations cosine retrieval of B's patches against A's."""
+    """Max-over-rotations cosine retrieval of B's patches against A's
+    (host numpy — the arrays are tiny; jit compile on the tunnel would
+    cost minutes)."""
     xa = _flat_norm(xa_p)
-    angles = jnp.asarray(np.linspace(0, 2 * np.pi, k_rot, endpoint=False),
-                         jnp.float32)
-    rots = np.asarray(_rotate_patches(jnp.asarray(xb_p), angles))
+    n, h, w, c = xb_p.shape
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
     sims = None
-    for k in range(k_rot):
-        s = _flat_norm(rots[k]) @ xa.T
+    for a in np.linspace(0, 2 * np.pi, k_rot, endpoint=False):
+        ca, sa = np.cos(a), np.sin(a)
+        sy = cy + (ys - cy) * ca - (xs - cx) * sa
+        sx = cx + (ys - cy) * sa + (xs - cx) * ca
+        rot = np.stack([
+            np.stack([_bilinear(xb_p[i, ..., ch], sy, sx) for ch in range(c)],
+                     axis=-1)
+            for i in range(n)
+        ])
+        s = _flat_norm(rot) @ xa.T
         sims = s if sims is None else np.maximum(sims, s)
     return sims
 
@@ -138,21 +138,13 @@ def _polar_fft(patches, n_r=16, n_a=32):
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     rr = np.linspace(1.0, min(cy, cx), n_r)
     aa = np.linspace(0, 2 * np.pi, n_a, endpoint=False)
-    sy = cy + rr[:, None] * np.sin(aa)[None, :]
-    sx = cx + rr[:, None] * np.cos(aa)[None, :]
-
-    @jax.jit
-    def resample(x):
-        def one(img):
-            return jnp.stack([
-                jax.scipy.ndimage.map_coordinates(
-                    img[..., ch], [jnp.asarray(sy), jnp.asarray(sx)],
-                    order=1, mode="constant", cval=0.0,
-                ) for ch in range(c)
-            ], axis=-1)
-        return jax.vmap(one)(x)
-
-    pol = np.asarray(resample(jnp.asarray(patches)))  # (N, R, A, C)
+    sy = (cy + rr[:, None] * np.sin(aa)[None, :]).astype(np.float32)
+    sx = (cx + rr[:, None] * np.cos(aa)[None, :]).astype(np.float32)
+    pol = np.stack([
+        np.stack([_bilinear(patches[i, ..., ch], sy, sx) for ch in range(c)],
+                 axis=-1)
+        for i in range(n)
+    ])  # (N, R, A, C)
     spec = np.abs(np.fft.rfft(pol, axis=2))  # rotation -> phase only
     return _flat_norm(spec)
 
@@ -192,29 +184,45 @@ def main():
             copies.append((hms, masks))
         row_out = dict(r)
 
+        # random-retrieval normalizer for the single-touch-style metric
+        rng_n = np.random.default_rng(7)
+        n_top = 10
+        rand_idx = rng_n.integers(0, n_sites, size=(n_sites, n_top))
+        rand_err = np.linalg.norm(
+            site_xyz[rand_idx] - site_xyz[:, None, :], axis=-1
+        ).mean()
+
         def score(sims, tag):
             top1 = sims.argmax(axis=1)
             acc = float(np.mean(top1 == np.arange(n_sites)))
-            err = np.linalg.norm(site_xyz[top1] - site_xyz, axis=1)
+            topn = np.argpartition(-sims, n_top, axis=1)[:, :n_top]
+            errn = np.linalg.norm(
+                site_xyz[topn] - site_xyz[:, None, :], axis=-1
+            ).mean(axis=1)
             row_out[f"top1_acc_{tag}"] = acc
-            row_out[f"median_err_mm_{tag}"] = float(np.median(err) * 1000)
+            # the north-star metric shape: normalized top-N pose error
+            row_out[f"st_{tag}"] = float(np.median(errn / rand_err))
 
-        for rectify in (False, True):
-            tag = "rectified" if rectify else "raw"
-            pa = _patches(*copies[0], rectify)
-            pb = _patches(*copies[1], rectify)
+        variants = [
+            ("raw", False, BAND_MM),
+            ("rect", True, BAND_MM),
+            ("rect_b04", True, 0.4),
+            ("raw_b04", False, 0.4),
+        ]
+        for tag, rectify, band in variants:
+            pa = _patches(*copies[0], rectify, band)
+            pb = _patches(*copies[1], rectify, band)
             score(_flat_norm(pb) @ _flat_norm(pa).T, tag)
-            if rectify:
-                score(_rotmax_retrieve(pa, pb, 16), tag + "_rotmax16")
-                score(_polar_fft(pb) @ _polar_fft(pa).T, tag + "_polarfft")
         row_out["wall_s"] = time.time() - t0
         results["rows"].append(row_out)
         print(
-            f"{r['name']:26s} raw: {row_out['top1_acc_raw']*100:5.1f}%  "
-            f"rect: {row_out['top1_acc_rectified']*100:5.1f}%  "
-            f"rect+rotmax16: {row_out['top1_acc_rectified_rotmax16']*100:5.1f}%  "
-            f"rect+polarfft: {row_out['top1_acc_rectified_polarfft']*100:5.1f}%  "
-            f"[{row_out['wall_s']:.0f}s]",
+            f"{r['name']:26s} "
+            + "  ".join(
+                f"{tag}: {row_out[f'top1_acc_{tag}']*100:4.1f}%/"
+                f"{row_out[f'st_{tag}']:.3f}"
+                for tag, _, _ in variants
+            )
+            + f"  [{row_out['wall_s']:.0f}s]",
             flush=True,
         )
 

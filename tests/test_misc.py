@@ -131,3 +131,45 @@ def test_replay_scan_matches_loop():
     )
     np.testing.assert_allclose(np.asarray(seq[0]), np.asarray(rmses), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(final.t), np.asarray(state.t), atol=1e-6)
+
+
+# ----------------------------- runtime ------------------------------------
+
+
+def test_runtime_setup_force_cpu(monkeypatch, tmp_path):
+    """MIDASTOUCH_FORCE_CPU=1 must pin the platform to cpu and setup()
+    must install the persistent compilation cache dir (these sit on the
+    measurement path every benchmark depends on)."""
+    import jax
+
+    from midastouch_tpu.utils import runtime
+
+    monkeypatch.setenv("MIDASTOUCH_FORCE_CPU", "1")
+    monkeypatch.setenv("MIDASTOUCH_TPU_JAX_CACHE", str(tmp_path / "cache"))
+    runtime.setup()
+    assert jax.config.jax_platforms == "cpu"
+    assert jax.config.jax_compilation_cache_dir == str(tmp_path / "cache")
+    assert jax.devices()[0].platform == "cpu"
+
+
+def test_runtime_setup_default_cache_dir(monkeypatch):
+    import jax
+
+    from midastouch_tpu.utils import runtime
+
+    monkeypatch.delenv("MIDASTOUCH_TPU_JAX_CACHE", raising=False)
+    runtime.setup()
+    assert jax.config.jax_compilation_cache_dir.endswith(".jax_cache")
+
+
+def test_profile_trace_smoke(tmp_path):
+    import jax.numpy as jnp
+
+    from midastouch_tpu.utils import runtime
+
+    with runtime.profile_trace(str(tmp_path)):
+        jnp.ones(8).sum().block_until_ready()
+    # a trace directory with at least one event file appears
+    import glob
+
+    assert glob.glob(str(tmp_path / "**" / "*"), recursive=True)

@@ -219,3 +219,47 @@ def test_randomized_lighting_and_backgrounds_change_rgb_not_geometry():
     rgb_spread = np.abs(rgbs - rgbs[0]).max(axis=(1, 2, 3))
     assert (rgb_spread[1:] > 0.02).all(), "lighting randomization inert"
     assert masks.std(axis=0).mean() < 0.25
+
+
+@pytest.mark.slow
+def test_megalith_327k_faces_cull_and_tessellation():
+    """High-poly robustness (stand-in for YCB nontextured.stl scans,
+    reference filter.py:70-81): `megalith` is boulder's exact displacement
+    field at icosphere subdivision 7 (327k faces). Checks (a) the
+    density-aware cull budget auto-raises, (b) the culled render equals a
+    full-face render in the contact region, (c) the surface agrees with
+    the subdivision-5 boulder up to tessellation chord error."""
+    from midastouch_tpu.geometry import procedural
+    from midastouch_tpu.render.digit import DigitRenderer, RenderConfig
+
+    meg = procedural.get_test_mesh("megalith")
+    assert len(meg.faces) >= 300_000
+    bld = procedural.get_test_mesh("boulder")
+
+    cfg = RenderConfig(width=40, height=52, max_faces=1024, ray_chunk=2080)
+    r_meg = DigitRenderer(cfg, meg)
+    r_bld = DigitRenderer(cfg, bld)
+    # (a) 1024 nearest faces provably miss in-contact geometry at this
+    # density; the budget must have been raised
+    assert r_meg.max_faces_eff > cfg.max_faces
+
+    pose = r_bld.update_pose_given_point(bld.vertices[100])
+    cam = r_bld.add_press(r_bld.gel2cam(jnp.asarray(pose, jnp.float32)), 0.001)
+
+    d_cull = np.asarray(r_meg.render_depth(cam))
+    r_full = DigitRenderer(
+        RenderConfig(width=40, height=52, max_faces=len(meg.faces),
+                     ray_chunk=2080),
+        meg,
+    )
+    d_full = np.asarray(r_full.render_depth(cam))
+    contact = d_full < cfg.cam_dist - 2e-4
+    assert contact.any()
+    # (b) cull-vs-full: exact where it matters
+    assert np.abs(d_cull - d_full)[contact].max() < 1e-6
+
+    # (c) same surface as boulder up to sub-5 chord error (~0.25 mm on the
+    # smallest bumps)
+    d_b = np.asarray(r_bld.render_depth(cam))
+    err = np.abs(d_full - d_b)[contact]
+    assert np.median(err) < 3e-4, f"median tess err {np.median(err):.2e} m"
