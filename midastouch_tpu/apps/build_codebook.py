@@ -37,6 +37,7 @@ def _canonical_params(m) -> tuple:
         float(m.canonical_crop_px),
         float(m.get("canonical_band_mm", 0.7)),
         float(bool(m.get("canonical_rectify", False))),
+        float(m.get("canonical_pool", 1)),
     )
 
 

@@ -74,6 +74,11 @@ class TCN:
         # shear-tilt rectification (remove the best-fit in-support plane
         # ramp before banding) — see ops/image.rectify_tilt for why
         self.canonical_rectify = bool(m.get("canonical_rectify", False))
+        # average-pool factor on the canonical patch (1 = off). Measured on
+        # the 10k boulder GT bank (PATCH_CODEBOOK_boulder.json): coarse
+        # 6x6 relief structure is the nuisance-robust signal — pool 8 took
+        # PatchPCA single-touch 0.824 -> 0.789 and top1<5mm 41% -> 50%
+        self.canonical_pool = int(m.get("canonical_pool", 1))
 
         self.pixmm = float(render_cfg.pixmm)
         self.cam_dist = float(render_cfg.cam_dist)
@@ -102,7 +107,7 @@ class TCN:
             # baseline the learned TCN must beat; also the no-weights
             # fallback so a fresh checkout can localize.
             self.canonicalize = True
-            cs = self.canonical_size
+            cs = self.canonical_size // max(self.canonical_pool, 1)
             d = cs * cs * 2
             e = self.output_dim
             if params_path is None:
@@ -125,7 +130,7 @@ class TCN:
         if self.arch == "HeightmapFPN":
             self.model = HeightmapFPN(**kwargs)
             if self.canonicalize:
-                cs = self.canonical_size
+                cs = self.canonical_size // max(self.canonical_pool, 1)
                 dummy = jnp.zeros((1, cs, cs, 2))
             else:
                 dummy = jnp.zeros((1, h, w, 2))
@@ -196,7 +201,12 @@ class TCN:
             )(hm32, masks)
             pen = patch * scale
             m = (patch > 1e-3).astype(jnp.float32)
-            return jnp.stack([jnp.clip(pen, 0.0, 2.0), m], axis=-1)
+            out = jnp.stack([jnp.clip(pen, 0.0, 2.0), m], axis=-1)
+            p = self.canonical_pool
+            if p > 1:
+                b, hh, ww, c = out.shape
+                out = out.reshape(b, hh // p, p, ww // p, p, c).mean((2, 4))
+            return out
         pen = heightmaps * (self.pixmm / 1000.0) / self.pen_max
         m = masks.astype(jnp.float32)
         return jnp.stack([jnp.clip(pen, 0.0, 2.0) * m, m], axis=-1)
