@@ -178,7 +178,14 @@ class TCN:
 
     def heightmaps_to_images(self, heightmaps, masks):
         """(B, H, W) -> (B, H', W', 2) [penetration / pen_max, mask];
-        H'/W' = sensor resolution, or canonical_size when canonicalizing."""
+        H'/W' = sensor resolution, or canonical_size when canonicalizing.
+        Jitted per batch shape: the eager vmap was one tunnel round-trip
+        per op (~minutes per 10k-image codebook build)."""
+        if not hasattr(self, "_h2i"):
+            self._h2i = jax.jit(self._heightmaps_to_images_impl)
+        return self._h2i(jnp.asarray(heightmaps), jnp.asarray(masks))
+
+    def _heightmaps_to_images_impl(self, heightmaps, masks):
         if self.canonicalize:
             from midastouch_tpu.ops import image as image_ops
 
@@ -245,7 +252,7 @@ class TCN:
     def fit_patch_pca(
         self,
         inputs: np.ndarray,  # (N, cs, cs, 2) canonical model inputs
-        whiten_floor: float = 0.05,
+        whiten_floor: float = 0.2,
         max_rows: int = 3072,
         seed: int = 0,
         save: bool = True,
@@ -253,7 +260,9 @@ class TCN:
         """Fit the PatchPCA projection: soft-whitened top-`output_dim`
         principal directions of the canonical patches. Soft whitening
         (scale 1/max(s_i, floor*s_0)) equalizes discriminative modes
-        without exploding the noise floor the way full whitening does."""
+        without exploding the noise floor the way full whitening does.
+        floor=0.2 measured best on the 10k boulder bank (0.766 vs 0.789
+        @0.05 and 0.794 unwhitened, /tmp scan recorded in RESULTS.md)."""
         assert self.arch == "PatchPCA"
         x = np.asarray(inputs, np.float32).reshape(len(inputs), -1)
         if len(x) > max_rows:

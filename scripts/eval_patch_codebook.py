@@ -110,7 +110,7 @@ def canonical_patches(hms, masks, rectify: bool, band_mm: float):
 
 
 def pca_embed(inputs: np.ndarray, out_dim: int = 256,
-              whiten_floor: float = 0.05, max_rows: int = 3072, seed: int = 0):
+              whiten_floor: float = 0.2, max_rows: int = 3072, seed: int = 0):
     """Soft-whitened PCA projection (models/tcn.py fit_patch_pca logic)."""
     x = inputs.reshape(len(inputs), -1).astype(np.float32)
     fit = x

@@ -263,3 +263,72 @@ def test_patch_pca_embedder(tmp_path):
     codes2 = np.asarray(tcn2.cloud_to_tactile_code(
         jnp.asarray(hms), jnp.asarray(masks)))
     np.testing.assert_allclose(codes, codes2, atol=1e-6)
+
+
+def test_patch_pca_pooled_and_rectified(tmp_path):
+    """canonical_pool + canonical_rectify (the measured-best recipe):
+    pooled input dims, fit/embed shapes, and tilt invariance of the codes
+    (a plane-ramped copy of the same contact must embed near-identically
+    after rectification)."""
+    import os
+
+    from midastouch_tpu.models.tcn import TCN
+    from midastouch_tpu.utils.config import compose
+
+    cfg = compose([
+        "tcn.model.model=PatchPCA", "tcn.model.output_dim=16",
+        "tcn.model.canonical_pool=8", "tcn.model.canonical_rectify=true",
+        "tcn.model.canonical_size=48",
+    ])
+    path = os.path.join(tmp_path, "pca.npz")
+    tcn = TCN(cfg.tcn, cfg.tdn.render, params_path=path)
+    assert tcn.canonical_pool == 8 and tcn.canonical_rectify
+
+    yy, xx = np.mgrid[0:240, 0:320].astype(np.float32)
+    rng = np.random.default_rng(0)
+    hms = []
+    for i in range(48):  # a healthy fit population (few-sample PCA with
+        # whitening amplifies residual noise directions arbitrarily)
+        cx, cy = rng.uniform(120, 200), rng.uniform(90, 150)
+        w1, w2 = rng.uniform(22, 40), rng.uniform(10, 16)
+        bump = 40 * np.exp(-(((yy - cy) / w1) ** 2 + ((xx - cx) / (w1 + 5)) ** 2))
+        bump += 20 * np.exp(
+            -(((yy - cy - 20) / w2) ** 2 + ((xx - cx + 25) / (w2 + 2)) ** 2)
+        )
+        hms.append(np.maximum(bump - 8, 0.0))
+    hms = np.stack(hms)
+    masks = hms > 0
+
+    inputs = np.asarray(tcn.model_inputs(
+        jax.random.PRNGKey(0), jnp.asarray(hms), jnp.asarray(masks)))
+    assert inputs.shape == (48, 6, 6, 2)  # 48 // 8
+    tcn.fit_patch_pca(inputs)
+    base = np.asarray(tcn.cloud_to_tactile_code(
+        jnp.asarray(hms), jnp.asarray(masks)))
+
+    # same contacts with a shear-tilt plane ramp added inside the support
+    ramp = 0.07 * (xx - 160) + 0.04 * (yy - 120)
+    hms_t = np.where(masks, np.maximum(hms + ramp, 0.0), 0.0)
+    masks_t = hms_t > 0
+
+    # the op's contract: the pooled canonical INPUT is tilt-invariant
+    inp_t = np.asarray(tcn.model_inputs(
+        jax.random.PRNGKey(0), jnp.asarray(hms_t), jnp.asarray(masks_t)))
+    a = inputs.reshape(len(inputs), -1)
+    b = inp_t.reshape(len(inp_t), -1)
+    cos_in = np.sum(a * b, 1) / np.maximum(
+        np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1), 1e-9
+    )
+    # (min is looser: the synthetic max(hm+ramp, 0) clips support edges
+    # slightly, an artifact real tilted renders don't have)
+    assert np.median(cos_in) > 0.995 and cos_in.min() > 0.97, (
+        f"input tilt invariance: {cos_in}"
+    )
+
+    # code level: soft-whitening amplifies residuals, so only a median
+    # bound is guaranteed per-sample (population metric: 0.766 single-touch
+    # on the 10k bank, RESULTS.md 2c)
+    tilted = np.asarray(tcn.cloud_to_tactile_code(
+        jnp.asarray(hms_t), jnp.asarray(masks_t)))
+    diag = np.sum(base * tilted, axis=1)
+    assert np.median(diag) > 0.6, f"tilt invariance broken: {diag}"
