@@ -20,8 +20,8 @@ import numpy as np
 
 BASELINE_STEPS_PER_SEC = 10.0
 
-N_PARTICLES = 50_000
-CODEBOOK_SIZE = 50_000
+N_PARTICLES = int(os.environ.get("BENCH_PARTICLES", 50_000))
+CODEBOOK_SIZE = int(os.environ.get("BENCH_CODEBOOK", 50_000))
 EMB_DIM = 256
 WARMUP = 5
 ITERS = 50

@@ -124,7 +124,14 @@ def build_codebook(
     use_gt_heightmaps: bool = False,
     seed: int = 0,
     save: bool = True,
+    refit_pca: bool = True,
 ) -> Codebook:
+    """`refit_pca`: a full build always refits the PatchPCA projection on
+    THIS codebook's canonical inputs (and saves it, so the live filter
+    loads the same projection) — a stale tcn_pca_weights.npz from a
+    previous object would otherwise be silently reused. Pass False for the
+    shared-TCN multi-object flow, which fits once on pooled inputs and
+    re-embeds every codebook afterwards (scripts/multiobj_pipeline.py)."""
     obj_model = obj_model or str(cfg.expt.obj_model)
     num_samples = int(cfg.expt.codebook_size)
     rng = np.random.default_rng(seed)
@@ -180,7 +187,7 @@ def build_codebook(
     if tcn.canonicalize:
         inputs = np.concatenate(pca_inputs)
         if tcn.arch == "PatchPCA":
-            if not tcn.is_fitted:
+            if refit_pca or not tcn.is_fitted:
                 tcn.fit_patch_pca(inputs.astype(np.float32), seed=seed)
                 print(f"fitted PatchPCA projection -> {tcn._weights_path}")
             for i in range(0, num_samples, batch):

@@ -36,7 +36,10 @@ def make_renderer(cfg, mesh: Mesh, randomize: bool = False, seed: int = 0):
     rc = RenderConfig.from_cfg(
         cfg.tdn.render, max_faces=int(cfg.tpu.render_max_faces)
     )
-    return DigitRenderer(rc, mesh, randomize=randomize, seed=seed)
+    return DigitRenderer(
+        rc, mesh, randomize=randomize, seed=seed,
+        backend=str(cfg.tpu.get("render_backend", "auto")),
+    )
 
 
 def compute_dtype(cfg):

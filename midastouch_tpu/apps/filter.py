@@ -139,9 +139,12 @@ def run_filter(
                 gt_p[1:traj_size], codes=codes_all[1:],
             )
         else:
+            # batched pre-sense: FCRN/mask/TCN at codebook-build batch size
+            # instead of batch-1 inside the scan (same math, sim blend_sz=0)
+            codes_all = step.sense_batch(images[:traj_size], k_sense)
             final, seq = step.replay(
                 state, k_replay, odom_q_all[1:], odom_t_all[1:],
-                gt_p[1:traj_size], images=jnp.asarray(images[:traj_size])[1:],
+                gt_p[1:traj_size], codes=codes_all[1:],
             )
         jax.block_until_ready(final.t)
         total_wall = time.perf_counter() - wall_start
@@ -179,16 +182,20 @@ def run_filter(
         t_frame = time.perf_counter()
         key, k_sense, k_step = jax.random.split(key, 3)
 
-        if profile_stages:
-            timer.start("tactile")
-        if use_gt:
-            heightmap = jnp.asarray(gt_heightmaps[idx])
-            mask = jnp.asarray(gt_masks[idx])
-            code = tcn.cloud_to_tactile_code(heightmap, mask, key=k_sense)
-        else:
-            code, heightmap, mask = step.sense(images[idx], k_sense)
-        if profile_stages:
-            timer.stop(code)
+        # fused single-dispatch frame (sense + odom + update); falls back to
+        # split dispatches when per-stage timing or GT sensing is requested
+        fused = not use_gt and not profile_stages and state is not None
+        if not fused:
+            if profile_stages:
+                timer.start("tactile")
+            if use_gt:
+                heightmap = jnp.asarray(gt_heightmaps[idx])
+                mask = jnp.asarray(gt_masks[idx])
+                code = tcn.cloud_to_tactile_code(heightmap, mask, key=k_sense)
+            else:
+                code, heightmap, mask = step.sense(images[idx], k_sense)
+            if profile_stages:
+                timer.stop(code)
 
         if state is None:
             state = step.initialize(k_step, gt_p[idx], init_particles)
@@ -203,15 +210,21 @@ def run_filter(
             prev_idx, count = idx, count + 1
             continue
 
-        if profile_stages:
-            timer.start("meas")
-        odom_q, odom_t = _relative_odom(meas_j, prev_idx, idx)
-        state, sstats = step.update(
-            state, k_step, code, odom_q, odom_t, gt_p[idx],
-            do_cluster=(count % 50 == 0), do_measurement=True,
-        )
-        if profile_stages:
-            timer.stop(state.t)
+        if fused:
+            state, sstats, code, heightmap, mask = step.sense_update(
+                state, k_step, images[idx], meas_j, prev_idx, idx, gt_p[idx],
+                do_cluster=(count % 50 == 0), do_measurement=True,
+            )
+        else:
+            if profile_stages:
+                timer.start("meas")
+            odom_q, odom_t = _relative_odom(meas_j, prev_idx, idx)
+            state, sstats = step.update(
+                state, k_step, code, odom_q, odom_t, gt_p[idx],
+                do_cluster=(count % 50 == 0), do_measurement=True,
+            )
+            if profile_stages:
+                timer.stop(state.t)
         device_stats.append(sstats)
 
         if viz is not None:

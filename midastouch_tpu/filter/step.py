@@ -101,6 +101,7 @@ class FilterStep:
         self._update = jax.jit(self._update_impl)
         self._sense = jax.jit(self._sense_impl) if (tdn and tcn) else None
         self._replay = None  # built lazily (jit with static scan knobs)
+        self._fused = None  # fused sense+odom+update, built lazily
 
     # -- sensing (filter.py:142-148) ------------------------------------------
 
@@ -122,6 +123,58 @@ class FilterStep:
         return self._sense(
             self.tdn.variables, self.tcn.variables, image, key
         )
+
+    def sense_batch(self, images, key, batch: int | None = None):
+        """All-frames batched sensing for offline replay: TDN forward, mask
+        thresholding and TCN embedding each run at codebook-build batch
+        size instead of batch-1 inside the scan. Same math as `sense`
+        frame-by-frame (sim path: blend_sz=0, so no temporal blending to
+        preserve); ~an order of magnitude fewer FLOP-starved dispatches."""
+        b = batch or self.tcn.batch_size
+        codes = []
+        for i in range(0, len(images), b):
+            chunk = jnp.asarray(images[i : i + b], jnp.float32)
+            hms = self.tdn.images2heightmaps(chunk)
+            masks = self.tdn.heightmaps2masks(hms, self.small_parts)
+            inputs = self.tcn.model_inputs(
+                jax.random.fold_in(key, i), hms, masks
+            )
+            codes.append(self.tcn.clouds_to_codes(inputs))
+        return jnp.concatenate(codes, axis=0)
+
+    def sense_update(
+        self, state, key, image, meas, prev_idx, idx, gt_pose,
+        do_cluster: bool = False, do_measurement: bool = True,
+    ):
+        """Fused per-frame sense + odometry + update as ONE dispatch — the
+        realtime loop's latency is dominated by host->device round trips
+        (this environment tunnels the TPU), so the three dispatches
+        (sense, relative odom, update) collapse into one."""
+        if self._fused is None:
+            self._fused = jax.jit(self._sense_update_impl)
+        return self._fused(
+            self.codebook, self.tdn.variables, self.tcn.variables,
+            state, key, image, meas,
+            jnp.asarray(prev_idx, jnp.int32), jnp.asarray(idx, jnp.int32),
+            gt_pose, jnp.asarray(do_cluster), jnp.asarray(do_measurement),
+        )
+
+    def _sense_update_impl(
+        self, codebook, tdn_vars, tcn_vars, state, key, image, meas,
+        prev_idx, idx, gt_pose, do_cluster, do_measurement,
+    ):
+        from midastouch_tpu.ops import se3
+
+        k_sense, k_update = jax.random.split(key)
+        code, hm, mask = self._sense_impl(tdn_vars, tcn_vars, image, k_sense)
+        rel = se3.tf_inverse(meas[prev_idx]) @ meas[idx]
+        odom_q = se3.matrix_to_quat(rel[:3, :3])
+        odom_t = rel[:3, 3]
+        state, stats = self._update_impl(
+            codebook, state, k_update, code, odom_q, odom_t, gt_pose,
+            do_cluster, do_measurement,
+        )
+        return state, stats, code, hm, mask
 
     # -- init (filter.py:158-160) ------------------------------------------------
 

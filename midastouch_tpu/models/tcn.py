@@ -79,6 +79,7 @@ class TCN:
         # 6x6 relief structure is the nuisance-robust signal — pool 8 took
         # PatchPCA single-touch 0.824 -> 0.789 and top1<5mm 41% -> 50%
         self.canonical_pool = int(m.get("canonical_pool", 1))
+        self.pca_whiten_floor = float(m.get("pca_whiten_floor", 0.2))
 
         self.pixmm = float(render_cfg.pixmm)
         self.cam_dist = float(render_cfg.cam_dist)
@@ -252,7 +253,7 @@ class TCN:
     def fit_patch_pca(
         self,
         inputs: np.ndarray,  # (N, cs, cs, 2) canonical model inputs
-        whiten_floor: float = 0.2,
+        whiten_floor: float | None = None,
         max_rows: int = 3072,
         seed: int = 0,
         save: bool = True,
@@ -264,6 +265,8 @@ class TCN:
         floor=0.2 measured best on the 10k boulder bank (0.766 vs 0.789
         @0.05 and 0.794 unwhitened, /tmp scan recorded in RESULTS.md)."""
         assert self.arch == "PatchPCA"
+        if whiten_floor is None:
+            whiten_floor = self.pca_whiten_floor
         x = np.asarray(inputs, np.float32).reshape(len(inputs), -1)
         if len(x) > max_rows:
             sel = np.random.default_rng(seed).choice(

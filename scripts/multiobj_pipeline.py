@@ -37,11 +37,12 @@ TCN_SAMPLES = 200 if QUICK else 1200  # per object
 CODEBOOK = int(os.environ.get("MOBJ_CODEBOOK", "2000" if QUICK else "6000"))
 PARTICLES = int(os.environ.get("MOBJ_PARTICLES", "5000" if QUICK else "20000"))
 
+# default recipe = the config default (measured-best PatchPCA, RESULTS.md
+# §2c); only the weight files are renamed so multi-object runs don't
+# clobber single-object ones. Override MOBJ_EXTRA to sweep learned
+# backbones (e.g. tcn.model.model=HeightmapFPN;tcn.train.kernel_loss_weight=1.0).
 EXTRA = [x for x in os.environ.get("MOBJ_EXTRA", ";".join([
-    "tcn.model.model=HeightmapFPN",
-    "tcn.model.canonicalize=true",
-    "tcn.train.kernel_loss_weight=1.0",
-    "tcn.model.tcn_weights=tcn_weights_multi.npz",
+    "tcn.model.tcn_weights=tcn_pca_weights_multi.npz",
     "tdn.tdn_weights=tdn_weights_multi.npz",
 ])).split(";") if x]
 
@@ -103,20 +104,48 @@ def main():
     log("tdn:", results["tdn_train"]); flush()
 
     # ---- 3. shared TCN ---------------------------------------------------
-    from midastouch_tpu.train.train_tcn import train as train_tcn
+    shared_pca = str(cfg.tcn.model.model) == "PatchPCA"
+    if shared_pca:
+        # training-free: ONE projection fitted on canonical inputs pooled
+        # across all objects (the shared-TCN analogue of the reference's
+        # 40-object training set), after the codebook builds cache them
+        results["tcn_train"] = {"skipped": "PatchPCA: pooled fit after builds"}
+    else:
+        from midastouch_tpu.train.train_tcn import train as train_tcn
 
-    tcn_out = train_tcn(cfg, OBJECTS, n_samples=TCN_SAMPLES,
-                        epochs=TCN_EPOCHS, log_every=2)
-    results["tcn_train"] = {
-        "final_loss": tcn_out["history"][-1]["loss"], "epochs": TCN_EPOCHS,
-    }
+        tcn_out = train_tcn(cfg, OBJECTS, n_samples=TCN_SAMPLES,
+                            epochs=TCN_EPOCHS, log_every=2)
+        results["tcn_train"] = {
+            "final_loss": tcn_out["history"][-1]["loss"], "epochs": TCN_EPOCHS,
+        }
     log("tcn:", results["tcn_train"]); flush()
 
     # ---- 4. per-object: TDN eval, codebook, single-touch, filter ---------
-    from midastouch_tpu.apps.build_codebook import build_codebook
+    from midastouch_tpu.apps.build_codebook import (
+        _inputs_cache_path, build_codebook, reembed_codebook)
     from midastouch_tpu.apps.filter import run_filter
     from midastouch_tpu.eval.single_touch import top_n_error
     from midastouch_tpu.eval.tdn_eval import evaluate_tdn
+
+    codebooks = {}
+    for obj in OBJECTS:
+        cfg_o = compose(BASE + [f"expt.obj_model={obj}", "expt.log_id=2"])
+        codebooks[obj] = build_codebook(
+            cfg_o, use_gt_heightmaps=False, seed=5, refit_pca=not shared_pca)
+    if shared_pca:
+        from midastouch_tpu.models.tcn import TCN
+
+        pooled = np.concatenate([
+            np.load(_inputs_cache_path(o))["inputs"].astype(np.float32)
+            for o in OBJECTS
+        ])
+        cfg0 = compose(BASE + [f"expt.obj_model={OBJECTS[0]}"])
+        tcn = TCN(cfg0.tcn, cfg0.tdn.render)
+        tcn.fit_patch_pca(pooled, seed=5)
+        log(f"pooled PatchPCA fit on {len(pooled)} inputs -> {tcn._weights_path}")
+        for obj in OBJECTS:
+            cfg_o = compose(BASE + [f"expt.obj_model={obj}"])
+            codebooks[obj] = reembed_codebook(cfg_o, obj)
 
     per_obj = {}
     for obj in OBJECTS:
@@ -124,8 +153,7 @@ def main():
         cfg_o = compose(BASE + [f"expt.obj_model={obj}", "expt.log_id=2"])
         entry["tdn_eval"] = evaluate_tdn(
             cfg_o, dataio.dataset_path(obj, 2), max_frames=60)
-        cb = build_codebook(cfg_o, use_gt_heightmaps=False, seed=5)
-        entry["single_touch"] = top_n_error(cb, n=25)
+        entry["single_touch"] = top_n_error(codebooks[obj], n=25)
         stats = run_filter(cfg_o, viz=None, realtime=False)
         rt = np.asarray(stats["rmse_t"]) * 1000
         entry["filter"] = {

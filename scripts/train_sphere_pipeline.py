@@ -33,7 +33,7 @@ OBJ = _os.environ.get("PIPELINE_OBJ", "potato")
 # extra config overrides (semicolon-separated) + results file, so runs on
 # different objects/recipes don't clobber each other
 EXTRA = [x for x in _os.environ.get("PIPELINE_EXTRA", "").split(";") if x]
-OUT_JSON = _os.environ.get("PIPELINE_OUT", "RESULTS.json")
+OUT_JSON = _os.environ.get("PIPELINE_OUT", f"RESULTS_{OBJ}.json")
 N_TRAIN_TRAJ = 120 if QUICK else 400
 N_TRAIN_RAND = 120 if QUICK else 400
 N_EVAL = 60 if QUICK else 150
@@ -97,13 +97,20 @@ def main():
     log("tdn trained:", results["tdn_train"])
 
     # ---- 2b. train TCN -----------------------------------------------------
-    from midastouch_tpu.train.train_tcn import train as train_tcn
+    # PatchPCA (the measured-best default) is training-free: its projection
+    # is fitted self-supervised inside build_codebook on the codebook's own
+    # canonical inputs. Learned backbones still train here.
+    if str(cfg.tcn.model.model) == "PatchPCA":
+        results["tcn_train"] = {"skipped": "PatchPCA is training-free"}
+        log("tcn: PatchPCA — fit happens during codebook build")
+    else:
+        from midastouch_tpu.train.train_tcn import train as train_tcn
 
-    tcn_out = train_tcn(cfg, [OBJ], n_samples=TCN_SAMPLES, epochs=TCN_EPOCHS,
-                        log_every=1)
-    results["tcn_train"] = {"final_loss": tcn_out["history"][-1]["loss"],
-                            "epochs": TCN_EPOCHS}
-    log("tcn trained:", results["tcn_train"])
+        tcn_out = train_tcn(cfg, [OBJ], n_samples=TCN_SAMPLES,
+                            epochs=TCN_EPOCHS, log_every=1)
+        results["tcn_train"] = {"final_loss": tcn_out["history"][-1]["loss"],
+                                "epochs": TCN_EPOCHS}
+        log("tcn trained:", results["tcn_train"])
 
     # ---- 3. TDN eval on held-out log --------------------------------------
     from midastouch_tpu.eval.tdn_eval import evaluate_tdn
@@ -144,7 +151,8 @@ def main():
     with open(OUT_JSON, "w") as fh:
         json.dump(results, fh, indent=2)
 
-    with open(OUT_JSON.replace(".json", ".md") if OUT_JSON != "RESULTS.json" else "RESULTS.md", "w") as fh:
+    # never clobber the top-level RESULTS.md narrative — per-run md only
+    with open(OUT_JSON.replace(".json", ".md"), "w") as fh:
         fh.write(f"""# RESULTS — learned end-to-end pipeline ({OBJ})
 
 Self-contained run (procedural {OBJ}, no downloaded assets): renderer ->

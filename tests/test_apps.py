@@ -224,3 +224,64 @@ def test_build_codebook_patch_pca(workspace, cfg):
         np.asarray(cb2.embeddings), emb, atol=2e-2
     )
     assert np.mean(np.sum(np.asarray(cb2.embeddings) * emb, axis=1)) > 0.999
+
+
+def test_sense_batch_and_fused_update_match_per_frame(workspace, cfg):
+    """The offline batched pre-sense (FilterStep.sense_batch) and the
+    realtime fused single-dispatch frame (FilterStep.sense_update) must be
+    numerically equivalent to the split per-frame path they replace.
+
+    Compute dtype is pinned to float32 here: under bf16 the FCRN's batch-1
+    and batch-N convolutions legitimately differ at the ULP (~0.5 px on a
+    ~100 px heightmap = 15 um, noise against the 0.7 mm canonical band),
+    and the untrained test-TDN amplifies that chaotically through the
+    canonical-frame estimate; fp32 pins the paths to ~3e-5 px."""
+    import jax
+    import jax.numpy as jnp
+
+    from midastouch_tpu.apps import common
+    from midastouch_tpu.codebook import Codebook
+    from midastouch_tpu.filter.pf import ParticleFilter
+    from midastouch_tpu.filter.step import FilterStep
+    from midastouch_tpu.utils import dataio
+    from midastouch_tpu.utils.config import compose
+
+    cfg32 = compose(OVERRIDES + ["tpu.compute_dtype=float32"])
+    data_path = dataio.dataset_path("sphere", 0)
+    images = dataio.load_images(data_path)[:6]
+    cam, gel, meas = dataio.load_poses(data_path)
+    mesh = common.resolve_mesh("sphere")
+    renderer = common.make_renderer(cfg32, mesh)
+    tdn, tcn = common.make_nets(cfg32, bg=renderer.get_background("gel"))
+    pf = ParticleFilter.from_config(cfg32, mesh)
+    cb = Codebook.load(common.codebook_path("sphere"))
+    step = FilterStep(pf, cb, tdn=tdn, tcn=tcn, floor=64,
+                      **common.ann_kwargs(cfg32, cb))
+
+    key = jax.random.PRNGKey(7)
+    # (a) batched == per-frame sensing: codes must agree to fp32 tolerance
+    codes_b = np.asarray(step.sense_batch(images, key, batch=4))
+    codes_s = np.stack([
+        np.asarray(step.sense(images[i], jax.random.fold_in(key, i))[0])
+        for i in range(len(images))
+    ])
+    cos = np.sum(codes_b * codes_s, axis=1)
+    assert cos.min() > 1 - 1e-4, f"batched/per-frame code cosine {cos.min()}"
+
+    # (b) fused sense+odom+update == split dispatches (same keys)
+    meas_j = jnp.asarray(meas[:6])
+    gt = jnp.asarray(gel[1], jnp.float32)
+    state0 = step.initialize(jax.random.PRNGKey(0), jnp.asarray(gel[0], jnp.float32), 256)
+    kf = jax.random.PRNGKey(3)
+    s_fused, st_fused, code_f, _, _ = step.sense_update(
+        state0, kf, images[1], meas_j, 0, 1, gt)
+    k_sense, k_update = jax.random.split(kf)
+    code, _, _ = step.sense(images[1], k_sense)
+    from midastouch_tpu.apps.filter import _relative_odom
+    oq, ot = _relative_odom(meas_j, 0, 1)
+    s_split, st_split = step.update(state0, k_update, code, oq, ot, gt)
+    np.testing.assert_allclose(np.asarray(code_f), np.asarray(code), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(s_fused.t), np.asarray(s_split.t), atol=1e-5)
+    np.testing.assert_allclose(
+        float(st_fused.rmse_t), float(st_split.rmse_t), atol=1e-6)

@@ -346,3 +346,74 @@ def test_end_to_end_localization_with_ann(kind):
         )
     final = float(stats.rmse_t)
     assert final < 0.012, f"ANN path did not converge: {final}"
+
+
+@pytest.mark.slow
+def test_fast_path_parity_on_learned_codebook():
+    """VERDICT r2 item 9: the production fast path (windowed ANN + bf16
+    embedding table + codebook-NN drift gate) must agree with exact/fp32
+    on a REAL learned codebook — learned codes have different similarity
+    statistics than the synthetic random-Fourier codes the other e2e gates
+    use. Skips until a pipeline run has produced the boulder artifact."""
+    import os
+
+    path = os.path.join("data", "codebooks", "boulder", "codebook.npz")
+    if not os.path.exists(path):
+        pytest.skip("no learned boulder codebook yet (run the pipeline)")
+
+    cb32 = Codebook.load(path)
+    cb16 = cb32.astype_embeddings(jnp.bfloat16)
+    index = cb16.build_ann_index(kind="windowed")
+    rng = np.random.default_rng(0)
+
+    # realistic query states: codebook poses + motion-scale noise
+    n = 4096
+    sel = rng.choice(len(cb32), n, replace=True)
+    q = jnp.asarray(np.asarray(cb32.q)[sel])
+    t = jnp.asarray(
+        np.asarray(cb32.t)[sel] + rng.normal(0, 2e-3, (n, 3)).astype(np.float32)
+    )
+
+    idx_exact = np.asarray(cb32.se3_nn_idx(q, t, backend=BACKEND))
+    idx_ann = np.asarray(
+        cb16.se3_nn_idx(q, t, backend=BACKEND, ann_index=index,
+                        ann_window=2048, ann_probes=2)
+    )
+
+    # (a) ANN recall on the learned manifold
+    recall = float(np.mean(idx_exact == idx_ann))
+    # distance-level agreement for the misses (ties / near-ties are fine)
+    keys_q = np.asarray(se3.se3_key(q, t))
+    keys_cb = np.asarray(cb32.keys)
+    d_exact = np.linalg.norm(keys_q - keys_cb[idx_exact], axis=1)
+    d_ann = np.linalg.norm(keys_q - keys_cb[idx_ann], axis=1)
+    assert recall > 0.9, f"windowed ANN recall {recall:.3f} on learned codebook"
+    assert np.quantile(d_ann - d_exact, 0.99) < 1e-3
+
+    # (b) weight parity: bf16 sims gathered at ANN NN vs fp32 at exact NN
+    code = jnp.asarray(np.asarray(cb32.embeddings)[rng.integers(len(cb32))])
+    sims32 = np.asarray(cb32.similarity(code)).astype(np.float64)
+    sims16 = np.asarray(cb16.similarity(code)).astype(np.float64)
+    w32 = jax.nn.softmax(jnp.asarray(sims32[idx_exact]))
+    w16 = jax.nn.softmax(jnp.asarray(sims16[idx_ann]))
+    cos = float(
+        jnp.vdot(w32, w16)
+        / jnp.maximum(jnp.linalg.norm(w32) * jnp.linalg.norm(w16), 1e-12)
+    )
+    assert cos > 0.99, f"softmax weight cosine {cos:.4f}"
+
+    # (c) the drift gate must not prune on-surface particles: threshold from
+    # FilterStep's spacing estimate vs actual NN distances of on-surface
+    # states (queries ARE codebook poses + 2 mm noise)
+    from midastouch_tpu.filter.step import FilterStep
+
+    mesh = procedural.get_test_mesh("boulder")
+    pf = _make_pf(mesh)
+    step = FilterStep(pf, cb16, ann_index=index)
+    nn_t = np.asarray(cb16.t)[idx_ann]
+    dist = np.linalg.norm(np.asarray(t) - nn_t, axis=1)
+    pruned = float(np.mean(dist > step._drift_thresh))
+    assert pruned < 0.02, (
+        f"drift gate would prune {100*pruned:.1f}% of on-surface particles "
+        f"(thresh {step._drift_thresh*1000:.2f} mm)"
+    )
