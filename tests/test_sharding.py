@@ -13,12 +13,20 @@ from midastouch_tpu.parallel.sharding import (
 )
 
 
-@pytest.fixture(scope="module")
-def tiny():
+# Two shapes: the standard tiny one, and a second capacity whose per-device
+# shard is NOT a power of two (1664/8 = 208) with a non-pow2 codebook —
+# catches shape-dependent sharding bugs (padding, uneven tiling) that a
+# single lucky shape would hide.
+_SHAPES = {"512x256": (512, 256), "1664x384": (1664, 384)}
+
+
+@pytest.fixture(scope="module", params=sorted(_SHAPES))
+def tiny(request):
     import __graft_entry__ as g
 
+    capacity, codebook_size = _SHAPES[request.param]
     step, state, (code, odom_q, odom_t, gt_pose), key = g._tiny_setup(
-        capacity=512, codebook_size=256
+        capacity=capacity, codebook_size=codebook_size
     )
     return step, state, code, odom_q, odom_t, gt_pose, key
 
