@@ -231,15 +231,20 @@ def sample_poses_on_mesh(
     else:
         pts, nrm = mesh.sample_surface(num_samples, rng)
     delta = rng.uniform(0.0, 2 * np.pi, size=num_samples).astype(np.float32)
-    key = jax.random.PRNGKey(int(rng.integers(0, 2**31 - 1)))
-    T = se3.pose_from_vertex_normal(
-        jnp.asarray(pts),
-        jnp.asarray(nrm),
-        float(np.radians(shear_mag_deg)),
-        jnp.asarray(delta),
-        key,
-    )
-    return np.asarray(T)
+    # host-side prep: shape-varying tiny math — keep off the accelerator
+    # (each new num_samples would cost a full tunnel compile)
+    from midastouch_tpu.utils.runtime import host_cpu
+
+    with jax.default_device(host_cpu()):
+        key = jax.random.PRNGKey(int(rng.integers(0, 2**31 - 1)))
+        T = se3.pose_from_vertex_normal(
+            jnp.asarray(pts),
+            jnp.asarray(nrm),
+            float(np.radians(shear_mag_deg)),
+            jnp.asarray(delta),
+            key,
+        )
+        return np.asarray(T)
 
 
 # ---------------------------------------------------------------------------

@@ -79,14 +79,18 @@ def random_surface_walk(
     yaw = np.radians(yaw_amplitude_deg) * np.sin(
         2.0 * np.pi * np.arange(num_steps) / yaw_period
     )
-    T = se3.pose_from_vertex_normal(
-        jnp.asarray(walk_pts),
-        jnp.asarray(walk_nrm),
-        0.0,
-        jnp.asarray(yaw.astype(np.float32)),
-        jax.random.PRNGKey(int(rng.integers(0, 2**31 - 1))),
-    )
-    return np.asarray(T)
+    # host-side prep: shape-varying tiny math — keep off the accelerator
+    from midastouch_tpu.utils.runtime import host_cpu
+
+    with jax.default_device(host_cpu()):
+        T = se3.pose_from_vertex_normal(
+            jnp.asarray(walk_pts),
+            jnp.asarray(walk_nrm),
+            0.0,
+            jnp.asarray(yaw.astype(np.float32)),
+            jax.random.PRNGKey(int(rng.integers(0, 2**31 - 1))),
+        )
+        return np.asarray(T)
 
 
 def random_geodesic_poses(
@@ -135,14 +139,18 @@ def random_geodesic_poses(
     yaw = np.radians(yaw_amplitude_deg) * np.sin(
         2.0 * np.pi * np.arange(num_steps) / yaw_period
     )
-    T = se3.pose_from_vertex_normal(
-        jnp.asarray(walk_pts),
-        jnp.asarray(walk_nrm),
-        0.0,
-        jnp.asarray(yaw.astype(np.float32)),
-        jax.random.PRNGKey(int(rng.integers(0, 2**31 - 1))),
-    )
-    return np.asarray(T)
+    # host-side prep: shape-varying tiny math — keep off the accelerator
+    from midastouch_tpu.utils.runtime import host_cpu
+
+    with jax.default_device(host_cpu()):
+        T = se3.pose_from_vertex_normal(
+            jnp.asarray(walk_pts),
+            jnp.asarray(walk_nrm),
+            0.0,
+            jnp.asarray(yaw.astype(np.float32)),
+            jax.random.PRNGKey(int(rng.integers(0, 2**31 - 1))),
+        )
+        return np.asarray(T)
 
 
 def manual_waypoint_path(
@@ -171,11 +179,15 @@ def manual_waypoint_path(
     _, j = tree.query(chord)
     walk_pts, walk_nrm = pts[j], nrm[j]
     yaw = np.radians(30.0) * np.sin(2 * np.pi * np.arange(len(j)) / 40)
-    T = se3.pose_from_vertex_normal(
-        jnp.asarray(walk_pts),
-        jnp.asarray(walk_nrm),
-        0.0,
-        jnp.asarray(yaw.astype(np.float32)),
-        jax.random.PRNGKey(int(rng.integers(0, 2**31 - 1))),
-    )
-    return np.asarray(T)
+    # host-side prep: shape-varying tiny math — keep off the accelerator
+    from midastouch_tpu.utils.runtime import host_cpu
+
+    with jax.default_device(host_cpu()):
+        T = se3.pose_from_vertex_normal(
+            jnp.asarray(walk_pts),
+            jnp.asarray(walk_nrm),
+            0.0,
+            jnp.asarray(yaw.astype(np.float32)),
+            jax.random.PRNGKey(int(rng.integers(0, 2**31 - 1))),
+        )
+        return np.asarray(T)

@@ -31,6 +31,20 @@ def setup(cache_dir: str | None = None) -> None:
         pass  # older jax without these flags
 
 
+def host_cpu():
+    """The host CPU jax device, for shape-varying host-side prep (pose
+    synthesis, odometry tables). Through the TPU tunnel every new shape
+    costs a ~20-40 s compile; these ops are microseconds of scalar math
+    and belong on the host backend. Returns None (no-op for
+    jax.default_device) if the CPU backend is unavailable."""
+    import jax
+
+    try:
+        return jax.devices("cpu")[0]
+    except Exception:
+        return None
+
+
 def profile_trace(log_dir: str):
     """Context manager around jax.profiler (replaces the reference's yappi
     wrapping, filter.py:262-277)."""
