@@ -28,14 +28,20 @@ from midastouch_tpu.utils.config import compose  # noqa: E402
 OBJECTS = os.environ.get("MOBJ_OBJECTS", "boulder,crag,mound").split(",")
 OUT_JSON = os.environ.get("MOBJ_OUT", "RESULTS_multiobj.json")
 QUICK = os.environ.get("MOBJ_QUICK") == "1"
-N_TRAIN_TRAJ = 60 if QUICK else 250
-N_TRAIN_RAND = 60 if QUICK else 250
-N_EVAL = 40 if QUICK else 150
-TDN_EPOCHS = 3 if QUICK else 12
-TCN_EPOCHS = 3 if QUICK else 15
-TCN_SAMPLES = 200 if QUICK else 1200  # per object
-CODEBOOK = int(os.environ.get("MOBJ_CODEBOOK", "2000" if QUICK else "6000"))
-PARTICLES = int(os.environ.get("MOBJ_PARTICLES", "5000" if QUICK else "20000"))
+
+
+def _env_int(name: str, default: int) -> int:
+    return int(os.environ.get(name, default))
+
+
+N_TRAIN_TRAJ = _env_int("MOBJ_TRAIN_TRAJ", 60 if QUICK else 250)
+N_TRAIN_RAND = _env_int("MOBJ_TRAIN_RAND", 60 if QUICK else 250)
+N_EVAL = _env_int("MOBJ_EVAL", 40 if QUICK else 150)
+TDN_EPOCHS = _env_int("MOBJ_TDN_EPOCHS", 3 if QUICK else 12)
+TCN_EPOCHS = _env_int("MOBJ_TCN_EPOCHS", 3 if QUICK else 15)
+TCN_SAMPLES = _env_int("MOBJ_TCN_SAMPLES", 200 if QUICK else 1200)  # per object
+CODEBOOK = _env_int("MOBJ_CODEBOOK", 2000 if QUICK else 6000)
+PARTICLES = _env_int("MOBJ_PARTICLES", 5000 if QUICK else 20000)
 
 # default recipe = the config default (measured-best PatchPCA, RESULTS.md
 # §2c); only the weight files are renamed so multi-object runs don't

@@ -22,6 +22,9 @@ M = int(os.environ.get("PROF_M", 50_000))
 E, ITERS = 256, int(os.environ.get("PROF_ITERS", 50))
 
 
+STAGES: dict = {}
+
+
 def window(name, body, *args):
     """Time ITERS iterations of body as one scan program (median of 3)."""
     def f(carry, _):
@@ -38,6 +41,7 @@ def window(name, body, *args):
         ts.append(time.perf_counter() - t0)
     ms = float(np.median(ts)) / ITERS * 1e3
     print(f"{name:36s} {ms:8.3f} ms/iter", flush=True)
+    STAGES[name] = round(ms, 4)
     return ms
 
 
@@ -133,6 +137,14 @@ def main():
             gt, jnp.bool_(True), jnp.bool_(True))
         return s
     window("FULL update (ANN + cluster every)", full_ann_cluster, state)
+
+    out = os.environ.get("PROF_OUT", f"PROFILE_{N//1000}k.json")
+    with open(out, "w") as fh:
+        import json
+
+        json.dump({"particles": N, "codebook": M, "iters": ITERS,
+                   "stages_ms_per_iter": STAGES}, fh, indent=2)
+    print(f"wrote {out}", flush=True)
 
 
 if __name__ == "__main__":
