@@ -23,6 +23,7 @@ import optax
 import yaml
 
 from midastouch_tpu.models.fcrn import FCRN
+from midastouch_tpu.utils import runtime
 from midastouch_tpu.models.params_io import save_variables
 from midastouch_tpu.ops import image as image_ops
 from midastouch_tpu.utils import dataio
@@ -130,7 +131,8 @@ def train(
         for i in range(0, len(train_idx) - batch_size + 1, batch_size):
             bidx = train_idx[i : i + batch_size]
             key, kd = jax.random.split(key)
-            params, batch_stats, opt_state, loss = step(
+            params, batch_stats, opt_state, loss = runtime.retry_transient(
+                step,
                 params, batch_stats, opt_state,
                 jnp.asarray(images[bidx]), jnp.asarray(targets[bidx]), kd,
             )

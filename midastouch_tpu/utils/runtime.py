@@ -31,6 +31,33 @@ def setup(cache_dir: str | None = None) -> None:
         pass  # older jax without these flags
 
 
+def retry_transient(fn, *args, attempts: int = 3, **kwargs):
+    """Call fn, retrying on transient TPU-tunnel failures (the remote
+    compile service occasionally drops the response body mid-transfer:
+    'INTERNAL: ... remote_compile: read body ...'). Safe for pure/jitted
+    calls — inputs are unchanged on retry. Non-transient errors re-raise
+    immediately."""
+    import time as _time
+
+    for k in range(attempts):
+        try:
+            return fn(*args, **kwargs)
+        except Exception as e:  # jax.errors.JaxRuntimeError subclasses vary
+            msg = str(e)
+            transient = (
+                "remote_compile" in msg
+                or "response body closed" in msg
+                or "DEADLINE_EXCEEDED" in msg
+                or "UNAVAILABLE" in msg
+            )
+            if not transient or k == attempts - 1:
+                raise
+            wait = 5.0 * (k + 1)
+            print(f"[runtime] transient TPU error, retry {k+1}/{attempts-1} "
+                  f"in {wait:.0f}s: {msg[:120]}", flush=True)
+            _time.sleep(wait)
+
+
 def host_cpu():
     """The host CPU jax device, for shape-varying host-side prep (pose
     synthesis, odometry tables). Through the TPU tunnel every new shape

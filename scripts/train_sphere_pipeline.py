@@ -65,17 +65,21 @@ def main():
 
     # ---- 1. datasets -------------------------------------------------------
     from midastouch_tpu.apps.generate_data import touch_simulator
+    from midastouch_tpu.utils import dataio
 
     log("generating datasets...")
-    cfg = compose(BASE + ["datagen=traj", f"datagen.num_frames={N_TRAIN_TRAJ}",
-                          "expt.log_id=0"])
-    touch_simulator(cfg, seed=0)
-    cfg = compose(BASE + ["datagen=random", f"datagen.num_frames={N_TRAIN_RAND}",
-                          "expt.log_id=1"])
-    touch_simulator(cfg, seed=1)
-    cfg = compose(BASE + ["datagen=traj", f"datagen.num_frames={N_EVAL}",
-                          "expt.log_id=2"])
-    touch_simulator(cfg, seed=2)
+    for log_id, method, n, seed in (
+        (0, "traj", N_TRAIN_TRAJ, 0),
+        (1, "random", N_TRAIN_RAND, 1),
+        (2, "traj", N_EVAL, 2),
+    ):
+        root = dataio.dataset_path(OBJ, log_id)
+        if os.path.exists(os.path.join(root, "tactile_data.npz")):
+            log(f"dataset exists: {OBJ}/{log_id} (reusing)")
+            continue
+        cfg = compose(BASE + [f"datagen={method}", f"datagen.num_frames={n}",
+                              f"expt.log_id={log_id}"])
+        touch_simulator(cfg, seed=seed)
     log("datasets done", f"{time.time()-t_start:.0f}s")
 
     # ---- 2a. train TDN -----------------------------------------------------
