@@ -118,6 +118,37 @@ def reembed_codebook(cfg, obj_model: str | None = None, save: bool = True):
     return cb
 
 
+def _fused_sensing_inputs(renderer, tdn, tcn, use_gt_heightmaps: bool):
+    """One jitted chunk program: render -> (TDN heightmap -> mask, or the
+    GT render heightmap/mask) -> canonical TCN model inputs.
+
+    Keeps the 240x320 rgb/heightmap stacks on-device; only the canonical
+    patches (few KB per chunk) and camera poses are returned. Numerically
+    identical to the unfused render_sensor_poses + images2heightmaps +
+    heightmaps2masks + model_inputs chain (tests/test_apps.py)."""
+    from midastouch_tpu.ops import image as image_ops
+
+    def fused(tdn_vars, poses, press, lights, angles, colors, bg_ids):
+        rgb, hm, mask, _press_eff, cam = jax.lax.map(
+            lambda a: renderer._render_impl(*a),
+            (poses, press, lights, angles, colors, bg_ids),
+        )
+        if not use_gt_heightmaps:
+            imgs = jax.vmap(image_ops.normalize_minmax)(rgb * 255.0)
+            hm = tdn.model.apply(tdn_vars, imgs, train=False)
+            mask = jax.vmap(
+                lambda h: image_ops.heightmap_to_mask(
+                    h, tdn.bg, tdn.b, tdn.r, tdn.clip, False
+                )
+            )(hm)
+        inputs = tcn._heightmaps_to_images_impl(
+            jnp.asarray(hm, jnp.float32), jnp.asarray(mask) > 0
+        )
+        return inputs, cam
+
+    return jax.jit(fused)
+
+
 def build_codebook(
     cfg,
     obj_model: str | None = None,
@@ -153,35 +184,83 @@ def build_codebook(
     embeddings = np.zeros((num_samples, int(cfg.tcn.model.output_dim)), np.float32)
 
     t0 = time.perf_counter()
-    for i in range(0, num_samples, batch):
-        sl = slice(i, min(i + batch, num_samples))
-        hms, masks, rgbs, cams, gels = renderer.render_sensor_poses(poses[sl])
-        gelposes[sl], camposes[sl] = gels, cams
+    use_fused = tcn.arch in ("HeightmapFPN", "PatchPCA") and tcn.canonicalize
+    if use_fused:
+        # Fused on-device chunk pipeline: render -> (TDN -> mask | GT) ->
+        # canonical inputs as ONE jitted program. Only the ~KB canonical
+        # patches and the camera poses ever cross the host boundary — the
+        # per-batch round trip of 240x320 rgb/heightmap stacks through the
+        # TPU tunnel was the build's wall (~2.7 poses/s measured; the
+        # compute itself is milliseconds per pose).
+        chunk = 64
+        press, lights, angles, colors, bg_ids = renderer.sample_render_aux(
+            num_samples
+        )
+        if angles is None:  # non-randomizing renderer: static lighting
+            from midastouch_tpu.render.digit import (
+                DEFAULT_LIGHT_ANGLES, DEFAULT_LIGHT_RGB)
 
-        if not use_gt_heightmaps:
-            est_h = tdn.images2heightmaps(rgbs * 255.0)
-            est_m = tdn.heightmaps2masks(est_h)
-            hms, masks = np.asarray(est_h), np.asarray(est_m)
-        key = jax.random.fold_in(jax.random.PRNGKey(seed), i)
-        if tcn.canonicalize:
-            # keep the canonical model inputs: PatchPCA fits on them after
-            # the loop, and they are cached to disk so TCN-weight retrains
-            # can re-embed in seconds (reembed_codebook) instead of
-            # re-rendering the whole codebook
-            pca_inputs.append(np.asarray(tcn.model_inputs(
-                key, jnp.asarray(hms, jnp.float32), jnp.asarray(masks > 0)
-            ), np.float16))
-            if tcn.arch != "PatchPCA":
-                embeddings[sl] = np.asarray(tcn.clouds_to_codes(
-                    jnp.asarray(pca_inputs[-1].astype(np.float32))
-                ))
-        else:
-            embeddings[sl] = np.asarray(
-                tcn.cloud_to_tactile_code(hms, masks, key=key)
+            angles = np.tile(DEFAULT_LIGHT_ANGLES, (num_samples, 1))
+            colors = np.tile(DEFAULT_LIGHT_RGB, (num_samples, 1, 1))
+            bg_ids = np.zeros(num_samples, np.int32)
+        fused = _fused_sensing_inputs(renderer, tdn, tcn, use_gt_heightmaps)
+        arrs = [np.asarray(a) for a in
+                (poses, press, lights, angles, colors, bg_ids)]
+        pad = (-num_samples) % chunk
+        if pad:
+            arrs = [np.concatenate([a, np.repeat(a[-1:], pad, 0)]) for a in arrs]
+        for i in range(0, num_samples + pad, chunk):
+            inp, cam = fused(
+                tdn.variables, *(jnp.asarray(a[i : i + chunk]) for a in arrs)
             )
-        done = sl.stop
-        rate = done / (time.perf_counter() - t0)
-        print(f"\r{done}/{num_samples} ({rate:.1f} poses/s)", end="", flush=True)
+            pca_inputs.append(np.asarray(inp, np.float16))
+            sl = slice(i, min(i + chunk, num_samples))
+            camposes[sl] = np.asarray(cam)[: sl.stop - sl.start]
+            done = sl.stop
+            rate = done / (time.perf_counter() - t0)
+            print(f"\r{done}/{num_samples} ({rate:.1f} poses/s)",
+                  end="", flush=True)
+        print()
+        gelposes[:] = np.asarray(renderer.cam2gel(jnp.asarray(camposes)))
+        inputs_all = np.concatenate(pca_inputs)[:num_samples]
+        pca_inputs = [inputs_all]
+        if tcn.arch == "PatchPCA":
+            pass  # fit + embed handled in the shared canonicalize tail
+        else:
+            for i in range(0, num_samples, batch):
+                embeddings[i : i + batch] = np.asarray(tcn.clouds_to_codes(
+                    jnp.asarray(inputs_all[i : i + batch].astype(np.float32))
+                ))
+    if not use_fused:
+        for i in range(0, num_samples, batch):
+            sl = slice(i, min(i + batch, num_samples))
+            hms, masks, rgbs, cams, gels = renderer.render_sensor_poses(poses[sl])
+            gelposes[sl], camposes[sl] = gels, cams
+
+            if not use_gt_heightmaps:
+                est_h = tdn.images2heightmaps(rgbs * 255.0)
+                est_m = tdn.heightmaps2masks(est_h)
+                hms, masks = np.asarray(est_h), np.asarray(est_m)
+            key = jax.random.fold_in(jax.random.PRNGKey(seed), i)
+            if tcn.canonicalize:
+                # keep the canonical model inputs: PatchPCA fits on them after
+                # the loop, and they are cached to disk so TCN-weight retrains
+                # can re-embed in seconds (reembed_codebook) instead of
+                # re-rendering the whole codebook
+                pca_inputs.append(np.asarray(tcn.model_inputs(
+                    key, jnp.asarray(hms, jnp.float32), jnp.asarray(masks > 0)
+                ), np.float16))
+                if tcn.arch != "PatchPCA":
+                    embeddings[sl] = np.asarray(tcn.clouds_to_codes(
+                        jnp.asarray(pca_inputs[-1].astype(np.float32))
+                    ))
+            else:
+                embeddings[sl] = np.asarray(
+                    tcn.cloud_to_tactile_code(hms, masks, key=key)
+                )
+            done = sl.stop
+            rate = done / (time.perf_counter() - t0)
+            print(f"\r{done}/{num_samples} ({rate:.1f} poses/s)", end="", flush=True)
     print()
 
     if tcn.canonicalize:

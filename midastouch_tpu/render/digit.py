@@ -593,16 +593,15 @@ class DigitRenderer:
         rgbs, hms, masks, press_eff, cams = cat
         return rgbs, hms, masks, press_eff, cams
 
-    def render_sensor_poses(self, poses: np.ndarray, num_depths: int = 1):
-        """Render an unordered pose set; returns stacked arrays:
-        (heightmaps, masks, images, cam_poses, gel_poses)."""
-        poses = np.atleast_3d(np.asarray(poses, dtype=np.float32))
-        if num_depths > 1:
-            poses = np.repeat(poses, num_depths, axis=0)
-        n = poses.shape[0]
+    def sample_render_aux(self, n: int):
+        """Per-render randomization draws (press depth, light scale, LED
+        angles/colors, background ids) for `n` unordered-pose renders —
+        the same key-stream order render_sensor_poses has always used, so
+        callers that render through a different code path (e.g. the fused
+        codebook build) see identical randomization."""
         press = np.asarray(jax.random.uniform(
             self._split(), (n,), minval=self.cfg.pen_min, maxval=self.cfg.pen_max
-        ))
+        ), np.float32)
         lights = np.ones(n, np.float32)
         angles = colors = bg_ids = None
         if self.randomize:
@@ -611,6 +610,16 @@ class DigitRenderer:
             angles, colors, bg_ids = self._sample_lighting(
                 k2, k3, k4, shape=(n,)
             )
+        return press, lights, angles, colors, bg_ids
+
+    def render_sensor_poses(self, poses: np.ndarray, num_depths: int = 1):
+        """Render an unordered pose set; returns stacked arrays:
+        (heightmaps, masks, images, cam_poses, gel_poses)."""
+        poses = np.atleast_3d(np.asarray(poses, dtype=np.float32))
+        if num_depths > 1:
+            poses = np.repeat(poses, num_depths, axis=0)
+        n = poses.shape[0]
+        press, lights, angles, colors, bg_ids = self.sample_render_aux(n)
         rgbs, hms, masks, press_eff, cams = self._render_chunked(
             poses, press, lights, angles=angles, colors=colors, bg_ids=bg_ids
         )

@@ -285,3 +285,62 @@ def test_sense_batch_and_fused_update_match_per_frame(workspace, cfg):
         np.asarray(s_fused.t), np.asarray(s_split.t), atol=1e-5)
     np.testing.assert_allclose(
         float(st_fused.rmse_t), float(st_split.rmse_t), atol=1e-6)
+
+
+def test_fused_build_inputs_match_unfused_chain(workspace, cfg):
+    """The fused codebook-build program (render -> TDN -> mask -> canonical
+    inputs, one jit, build_codebook._fused_sensing_inputs) must equal the
+    unfused chain (render_sensor_poses -> images2heightmaps ->
+    heightmaps2masks -> model_inputs) on identical randomization draws —
+    it exists purely to avoid host round-trips, not to change math."""
+    import jax
+    import jax.numpy as jnp
+
+    from midastouch_tpu.apps import common
+    from midastouch_tpu.apps.build_codebook import _fused_sensing_inputs
+    from midastouch_tpu.geometry.mesh import sample_poses_on_mesh
+    from midastouch_tpu.render.digit import (
+        DEFAULT_LIGHT_ANGLES, DEFAULT_LIGHT_RGB)
+
+    cfg2 = compose(OVERRIDES + [
+        "tcn.model.model=PatchPCA",
+        "tcn.model.canonical_size=24",
+        "tcn.model.canonical_crop_px=48",
+    ])
+    mesh = common.resolve_mesh("sphere")
+    renderer = common.make_renderer(cfg2, mesh, randomize=True, seed=7)
+    tdn, tcn = common.make_nets(cfg2, bg=renderer.get_background("gel"))
+
+    n = 8
+    rng = np.random.default_rng(0)
+    poses = sample_poses_on_mesh(mesh, n, rng, edges=False)
+    press, lights, angles, colors, bg_ids = renderer.sample_render_aux(n)
+    if angles is None:
+        angles = np.tile(DEFAULT_LIGHT_ANGLES, (n, 1))
+        colors = np.tile(DEFAULT_LIGHT_RGB, (n, 1, 1))
+        bg_ids = np.zeros(n, np.int32)
+
+    for use_gt in (True, False):
+        fused = _fused_sensing_inputs(renderer, tdn, tcn, use_gt)
+        inp_f, cam_f = fused(
+            tdn.variables, jnp.asarray(poses), jnp.asarray(press),
+            jnp.asarray(lights), jnp.asarray(angles), jnp.asarray(colors),
+            jnp.asarray(bg_ids),
+        )
+        rgbs, hms, masks, _press_eff, cams = renderer._render_chunked(
+            np.asarray(poses, np.float32), press, lights,
+            angles=angles, colors=colors, bg_ids=bg_ids,
+        )
+        if not use_gt:
+            hms = np.asarray(tdn.images2heightmaps(rgbs * 255.0))
+            masks = np.asarray(tdn.heightmaps2masks(hms))
+        inp_u = tcn.model_inputs(
+            jax.random.PRNGKey(0), jnp.asarray(hms, jnp.float32),
+            jnp.asarray(masks) > 0,
+        )
+        np.testing.assert_allclose(np.asarray(cam_f), cams, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(inp_f), np.asarray(inp_u), atol=2e-2,
+            err_msg=f"use_gt={use_gt}",
+        )
+        assert float(np.abs(np.asarray(inp_f) - np.asarray(inp_u)).mean()) < 2e-3
