@@ -209,9 +209,12 @@ def build_codebook(
         pad = (-num_samples) % chunk
         if pad:
             arrs = [np.concatenate([a, np.repeat(a[-1:], pad, 0)]) for a in arrs]
+        from midastouch_tpu.utils.runtime import retry_transient
+
         for i in range(0, num_samples + pad, chunk):
-            inp, cam = fused(
-                tdn.variables, *(jnp.asarray(a[i : i + chunk]) for a in arrs)
+            inp, cam = retry_transient(
+                fused, tdn.variables,
+                *(jnp.asarray(a[i : i + chunk]) for a in arrs),
             )
             pca_inputs.append(np.asarray(inp, np.float16))
             sl = slice(i, min(i + chunk, num_samples))

@@ -85,20 +85,28 @@ def main():
     # ---- 2a. train TDN -----------------------------------------------------
     from midastouch_tpu.train.train_tdn import train as train_tdn
     from midastouch_tpu.utils import dataio
+    from midastouch_tpu.utils.misc import DIRS
 
     cfg = compose(BASE)
-    tdn_out = train_tdn(
-        cfg,
-        [dataio.dataset_path(OBJ, 0), dataio.dataset_path(OBJ, 1)],
-        epochs=TDN_EPOCHS,
-        batch_size=8,
-        log_every=1,
-    )
-    results["tdn_train"] = {
-        "best_val_rmse_mm": tdn_out["best_val_rmse_mm"],
-        "epochs": TDN_EPOCHS,
-    }
-    log("tdn trained:", results["tdn_train"])
+    wpath = os.path.join(DIRS["weights"], str(cfg.tdn.tdn_weights))
+    if _os.environ.get("PIPELINE_SKIP_TDN") == "1" and os.path.exists(wpath):
+        # resume after a tunnel crash mid-pipeline: the best-val checkpoint
+        # is already on disk; don't burn ~30 min retraining it
+        results["tdn_train"] = {"skipped": f"reusing {wpath}"}
+        log("tdn: reusing existing weights", wpath)
+    else:
+        tdn_out = train_tdn(
+            cfg,
+            [dataio.dataset_path(OBJ, 0), dataio.dataset_path(OBJ, 1)],
+            epochs=TDN_EPOCHS,
+            batch_size=8,
+            log_every=1,
+        )
+        results["tdn_train"] = {
+            "best_val_rmse_mm": tdn_out["best_val_rmse_mm"],
+            "epochs": TDN_EPOCHS,
+        }
+        log("tdn trained:", results["tdn_train"])
 
     # ---- 2b. train TCN -----------------------------------------------------
     # PatchPCA (the measured-best default) is training-free: its projection
