@@ -27,14 +27,25 @@ def top_n_error(
     chunk: int = 512,
     seed: int = 0,
     return_errors: bool = False,
+    query_embeddings: np.ndarray | None = None,
 ) -> dict:
+    """`query_embeddings`: optional (M, E) queries distinct from the
+    codebook's stored embeddings, row-aligned with it (row i queries from
+    the same touch as db entry i, which is excluded as in the reference
+    self-retrieval protocol). Used to score asymmetric deployments — e.g.
+    a GT-render-built codebook queried by TDN-estimated live codes."""
     emb = codebook.embeddings  # (M, E) already L2-normalized
     pos = np.asarray(codebook.t)
     m = emb.shape[0]
+    if query_embeddings is None:
+        q_emb = emb
+    else:
+        q = jnp.asarray(query_embeddings, dtype=jnp.float32)
+        q_emb = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
 
     errors = []
     for i in range(0, m, chunk):
-        sims = np.array(emb[i : i + chunk] @ emb.T)  # (c, M), writable copy
+        sims = np.array(q_emb[i : i + chunk] @ emb.T)  # (c, M), writable copy
         rows = np.arange(sims.shape[0])
         sims[rows, rows + i] = -np.inf  # exclude self
         top = np.argpartition(-sims, n, axis=1)[:, :n]

@@ -74,27 +74,38 @@ class FilterStep:
         # positions is shared with the all-drifted recovery branch
         self.drift_from_codebook = drift_from_codebook
         if drift_from_codebook:
-            # widen the gate on sparse codebooks: an on-surface particle is
-            # only as close to its NN entry as the codebook's own spacing.
-            # Spacing is estimated from an even stride over the WHOLE book
-            # (a head slice is spatially biased when pose sampling is
-            # structured, e.g. edges-first), and the threshold is widened
-            # when an approximate ANN index serves the NN query — an ANN
-            # recall miss inflates the measured distance and must not zero
-            # a live particle's weight.
-            stride = max(len(codebook) // 1024, 1)
-            t = codebook.t[::stride][:1024]
-            d2 = (
-                jnp.sum(t * t, 1)[:, None]
-                - 2.0 * (t @ codebook.t.T)
-                + jnp.sum(codebook.t * codebook.t, 1)[None, :]
+            # Monte-Carlo-calibrate the gate at init: query codebook poses
+            # perturbed by press-scale noise through the SAME NN path the
+            # live gate uses (incl. the ANN index and its recall misses),
+            # and set the threshold at the 99.9th percentile of the
+            # measured distances. A particle within press-depth noise of
+            # the surface then survives by construction (~0.1% false-kill),
+            # independent of codebook density, ANN knobs, and the 6-D key
+            # weighting — the previous spacing-derived threshold pruned 7%
+            # of on-surface particles on the round-3 learned codebook
+            # (tests/test_filter.py::test_fast_path_parity_on_learned_codebook).
+            m = min(len(codebook), 4096)
+            stride = max(len(codebook) // m, 1)
+            q_s = codebook.q[::stride][:m]
+            t_s = codebook.t[::stride][:m]
+            k = jax.random.PRNGKey(0)
+            t_n = t_s + float(pf.params.pen_max) * jax.random.normal(
+                k, t_s.shape, dtype=t_s.dtype
             )
-            d2 = jnp.where(d2 <= 1e-12, jnp.inf, d2)
-            spacing = jnp.quantile(jnp.sqrt(jnp.min(d2, axis=1)), 0.95)
-            ann_slack = 1.5 if ann_index is not None else 1.0
-            self._drift_thresh = ann_slack * max(
-                float(pf.params.pen_max), 2.0 * float(spacing)
+            idx = codebook.se3_nn_idx(
+                q_s, t_n, backend=pf.params.backend,
+                ann_index=ann_index, top_cells=ann_top_cells,
+                ann_window=ann_window, ann_probes=ann_probes,
             )
+            d = jnp.linalg.norm(t_n - codebook.t[idx], axis=-1)
+            self._drift_thresh = max(
+                1.1 * float(jnp.quantile(d, 0.999)),
+                float(pf.params.pen_max),
+            )
+        # traced form (see _update_impl): 0.0 when the codebook gate is off
+        self._drift_thresh_arr = jnp.asarray(
+            getattr(self, "_drift_thresh", 0.0), jnp.float32
+        )
         # sim path softmaxes similarity weights (filter.py:172); the real
         # path uses raw cosine scores (filter_real.py:209)
         self.softmax = softmax
@@ -157,11 +168,12 @@ class FilterStep:
             state, key, image, meas,
             jnp.asarray(prev_idx, jnp.int32), jnp.asarray(idx, jnp.int32),
             gt_pose, jnp.asarray(do_cluster), jnp.asarray(do_measurement),
+            self._drift_thresh_arr,
         )
 
     def _sense_update_impl(
         self, codebook, tdn_vars, tcn_vars, state, key, image, meas,
-        prev_idx, idx, gt_pose, do_cluster, do_measurement,
+        prev_idx, idx, gt_pose, do_cluster, do_measurement, drift_thresh,
     ):
         from midastouch_tpu.ops import se3
 
@@ -172,7 +184,7 @@ class FilterStep:
         odom_t = rel[:3, 3]
         state, stats = self._update_impl(
             codebook, state, k_update, code, odom_q, odom_t, gt_pose,
-            do_cluster, do_measurement,
+            do_cluster, do_measurement, drift_thresh,
         )
         return state, stats, code, hm, mask
 
@@ -200,6 +212,7 @@ class FilterStep:
         gt_pose: jax.Array,
         do_cluster: jax.Array,
         do_measurement: jax.Array,
+        drift_thresh: jax.Array | None = None,
     ):
         pf = self.pf
         k_motion, k_resample = jax.random.split(key)
@@ -233,7 +246,15 @@ class FilterStep:
         if self.drift_from_codebook:
             nn_t = codebook.t[idx]
             dist = jnp.linalg.norm(state.t - nn_t, axis=-1)
-            valid = dist <= self._drift_thresh
+            # thresh arrives as a TRACED scalar so recalibrating it (every
+            # FilterStep init measures it from the codebook) never changes
+            # the compiled program — as a baked constant it invalidated the
+            # compile cache of the whole fused update/replay on every run
+            thresh = (
+                drift_thresh if drift_thresh is not None
+                else self._drift_thresh_arr
+            )
+            valid = dist <= thresh
             state = state._replace(
                 weights=state.weights * valid.astype(state.weights.dtype)
             )
@@ -285,6 +306,7 @@ class FilterStep:
         return self._update(
             self.codebook, state, key, code, odom_q, odom_t, gt_pose,
             jnp.asarray(do_cluster), jnp.asarray(do_measurement),
+            self._drift_thresh_arr,
         )
 
     # -- whole-log replay as one device program ---------------------------------
@@ -319,13 +341,14 @@ class FilterStep:
             self.tdn.variables if images is not None else None,
             self.tcn.variables if images is not None else None,
             state, key, odom_q_all, odom_t_all, gt_all, sense_inputs,
+            self._drift_thresh_arr,
             do_sense=images is not None,
             cluster_every=cluster_every, measure_every=measure_every,
         )
 
     def _replay_impl(
         self, codebook, tdn_vars, tcn_vars, state, key,
-        odom_q_all, odom_t_all, gt_all, sense_inputs, do_sense,
+        odom_q_all, odom_t_all, gt_all, sense_inputs, drift_thresh, do_sense,
         cluster_every, measure_every,
     ):
         def body(carry, xs):
@@ -340,6 +363,7 @@ class FilterStep:
                 codebook, state, ku, code, oq, ot, gt,
                 i % cluster_every == 0,
                 i % measure_every == 0,
+                drift_thresh,
             )
             return (state, key, i + 1), (
                 stats.rmse_t, stats.rmse_r, stats.n_active

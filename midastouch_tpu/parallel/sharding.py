@@ -111,7 +111,9 @@ def make_sharded_update(
 
     jitted = jax.jit(
         step._update_impl,
-        in_shardings=(cb_rep, sh_state, rep, rep, rep, rep, rep, rep, rep),
+        in_shardings=(
+            cb_rep, sh_state, rep, rep, rep, rep, rep, rep, rep, rep,
+        ),
         out_shardings=(sh_state, rep_stats),
     )
 
@@ -120,6 +122,7 @@ def make_sharded_update(
         return jitted(
             step.codebook, state, key, code, odom_q, odom_t, gt_pose,
             jnp.asarray(do_cluster), jnp.asarray(do_measurement),
+            step._drift_thresh_arr,
         )
 
     return update

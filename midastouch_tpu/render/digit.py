@@ -595,10 +595,13 @@ class DigitRenderer:
 
     def sample_render_aux(self, n: int):
         """Per-render randomization draws (press depth, light scale, LED
-        angles/colors, background ids) for `n` unordered-pose renders —
-        the same key-stream order render_sensor_poses has always used, so
-        callers that render through a different code path (e.g. the fused
-        codebook build) see identical randomization."""
+        angles/colors, background ids) for `n` unordered-pose renders.
+        Callers that render through a different code path (e.g. the fused
+        codebook build) see identical randomization only when they draw
+        for the same `n` in the same order — the fused build draws aux for
+        all samples in ONE call while the legacy loop drew per batch, so
+        same-seed codebooks are deterministic within each path but not
+        bit-identical across them."""
         press = np.asarray(jax.random.uniform(
             self._split(), (n,), minval=self.cfg.pen_min, maxval=self.cfg.pen_max
         ), np.float32)

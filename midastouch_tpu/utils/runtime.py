@@ -39,9 +39,22 @@ def retry_transient(fn, *args, attempts: int = 3, **kwargs):
     immediately."""
     import time as _time
 
+    if attempts < 1:
+        raise ValueError(f"attempts must be >= 1, got {attempts}")
     for k in range(attempts):
         try:
-            return fn(*args, **kwargs)
+            out = fn(*args, **kwargs)
+            # jitted calls return before execution completes; block here so
+            # execution-phase transient errors (DEADLINE_EXCEEDED mid-run,
+            # tunnel drops during device->host transfer) surface inside the
+            # try and get retried instead of exploding at a later consumer
+            try:
+                import jax
+
+                jax.block_until_ready(out)
+            except ImportError:
+                pass
+            return out
         except Exception as e:  # jax.errors.JaxRuntimeError subclasses vary
             msg = str(e)
             transient = (

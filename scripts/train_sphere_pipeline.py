@@ -156,6 +156,14 @@ def main():
         "avg_iteration_s": float(stats["avg_time"]),
         "avg_hz": float(1.0 / max(stats["avg_time"], 1e-9)),
     }
+    if "avg_time_warm" in stats:
+        # steady-state rate with the compiled programs (the cold number
+        # above includes minutes of one-time tunnel compile)
+        results["filter"]["avg_hz_warm"] = float(
+            1.0 / max(stats["avg_time_warm"], 1e-9)
+        )
+        results["filter"]["sense_time_s"] = float(stats["sense_time"])
+        results["filter"]["replay_time_s"] = float(stats["replay_time"])
     log("filter:", results["filter"])
 
     results["total_wall_s"] = time.time() - t_start

@@ -56,8 +56,18 @@ def main():
     cfg = compose(overrides)
 
     bank_path = os.path.join("data", "codebooks", obj, f"raw_bank_{n}.npz")
+    if not os.path.exists(bank_path):
+        # round-4 banks (scripts/ablate_gt_vs_est.py) carry both the GT and
+        # the TDN-estimated stacks; eval on the stack the codebook will use
+        bank_path = os.path.join(
+            "data", "codebooks", obj, f"ablation_bank_{n}.npz"
+        )
     z = np.load(bank_path)
-    hms, masks = z["heightmaps"], z["masks"]
+    stack = kv.get("stack", "gt")  # gt | est
+    if "heightmaps" in z:
+        hms, masks = z["heightmaps"], z["masks"]
+    else:
+        hms, masks = z[f"{stack}_hm"], z[f"{stack}_mask"]
     gelposes, camposes = z["gelposes"], z["camposes"]
 
     # canonical eval inputs, computed once with the configured canon params

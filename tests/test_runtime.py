@@ -13,9 +13,15 @@ from midastouch_tpu.utils.misc import StageTimer
 
 def test_setup_configures_compile_cache(tmp_path, monkeypatch):
     cache = str(tmp_path / "jc")
+    prev = jax.config.jax_compilation_cache_dir
     monkeypatch.setenv("MIDASTOUCH_TPU_JAX_CACHE", cache)
-    runtime.setup()
-    assert jax.config.jax_compilation_cache_dir == cache
+    try:
+        runtime.setup()
+        assert jax.config.jax_compilation_cache_dir == cache
+    finally:
+        # global jax.config outlives the test; don't leave later compiles
+        # caching into this throwaway tmp_path
+        jax.config.update("jax_compilation_cache_dir", prev)
 
 
 def test_setup_force_cpu_env(monkeypatch):
@@ -63,6 +69,18 @@ def test_retry_transient_gives_up_after_attempts(monkeypatch):
     with pytest.raises(RuntimeError):
         runtime.retry_transient(always_down, attempts=3)
     assert calls["n"] == 3
+
+
+def test_retry_transient_rejects_nonpositive_attempts():
+    with pytest.raises(ValueError):
+        runtime.retry_transient(lambda: 1, attempts=0)
+
+
+def test_retry_transient_blocks_on_jax_outputs(monkeypatch):
+    # execution-phase errors surface at block_until_ready, inside the try —
+    # verify the result is materialized before retry_transient returns
+    out = runtime.retry_transient(lambda: jax.numpy.arange(4) * 2)
+    assert out.is_ready()
 
 
 def test_host_cpu_returns_cpu_device():
