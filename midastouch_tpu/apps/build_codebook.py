@@ -57,6 +57,7 @@ def _stack_fingerprint(cfg, use_gt_heightmaps: bool) -> str:
         float(r.pixmm), float(r.cam_dist), int(r.height), int(r.width),
         float(r.pen.min), float(r.pen.max), float(r.get("shear_mag", 5.0)),
         float(r.get("yfov_deg", 60.0)), bool(use_gt_heightmaps),
+        str(cfg.tdn.fcrn.sim.get("input_norm", "minmax")),
     )).encode())
     if not use_gt_heightmaps:
         wpath = os.path.join(DIRS["weights"], str(cfg.tdn.tdn_weights))
@@ -134,7 +135,9 @@ def _fused_sensing_inputs(renderer, tdn, tcn, use_gt_heightmaps: bool):
             (poses, press, lights, angles, colors, bg_ids),
         )
         if not use_gt_heightmaps:
-            imgs = jax.vmap(image_ops.normalize_minmax)(rgb * 255.0)
+            imgs = jax.vmap(
+                lambda im: image_ops.normalize_image(im, tdn.input_norm)
+            )(rgb * 255.0)
             hm = tdn.model.apply(tdn_vars, imgs, train=False)
             mask = jax.vmap(
                 lambda h: image_ops.heightmap_to_mask(

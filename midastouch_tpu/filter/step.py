@@ -119,7 +119,9 @@ class FilterStep:
     def _sense_impl(self, tdn_vars, tcn_vars, image, key):
         from midastouch_tpu.ops import image as image_ops
 
-        img = image_ops.normalize_minmax(jnp.asarray(image, jnp.float32))
+        img = image_ops.normalize_image(
+            jnp.asarray(image, jnp.float32), self.tdn.input_norm
+        )
         hm = self.tdn.model.apply(tdn_vars, img[None], train=False)[0]
         mask = image_ops.heightmap_to_mask(
             hm, self.tdn.bg, self.tdn.b, self.tdn.r, self.tdn.clip,

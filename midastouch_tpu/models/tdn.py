@@ -36,6 +36,9 @@ class TDN:
         self.r = float(fcrn_cfg.ratio)
         self.clip = float(fcrn_cfg.clip)
         self.blend_sz = int(fcrn_cfg.blend_sz)
+        # input normalization mode: 'minmax' (reference parity, tdn.py:108)
+        # or 'per_channel' (lighting-robust; ops/image.normalize_per_channel)
+        self.input_norm = str(fcrn_cfg.get("input_norm", "minmax"))
         self.bottleneck = bottleneck
         self.heightmap_window: collections.deque = collections.deque([])
 
@@ -65,21 +68,30 @@ class TDN:
 
     # -- forward paths (tdn.py:94-137) ---------------------------------------
 
+    def preprocess(self, images: jax.Array) -> jax.Array:
+        """Batched input normalization (B, H, W, 3) with the configured
+        mode — the single place every sense path (live filter, codebook
+        build, training) must route through so train/inference agree."""
+        imgs = jnp.asarray(images, dtype=jnp.float32)
+        return jax.vmap(
+            lambda im: image_ops.normalize_image(im, self.input_norm)
+        )(imgs)
+
     def image2heightmap(self, image: np.ndarray) -> jax.Array:
         """Single tactile image (H, W, 3) -> blended heightmap (H, W) px."""
-        img = image_ops.normalize_minmax(jnp.asarray(image, dtype=jnp.float32))
-        out = self._fwd(self.variables, img[None])[0]
+        img = self.preprocess(jnp.asarray(image)[None])
+        out = self._fwd(self.variables, img)[0]
         return self.blend_heightmaps(out)
 
     def images2heightmaps(self, images: np.ndarray) -> jax.Array:
         """Batched forward (no blending) for codebook builds."""
-        imgs = jnp.asarray(images, dtype=jnp.float32)
-        imgs = jax.vmap(image_ops.normalize_minmax)(imgs)
-        return self._fwd(self.variables, imgs)
+        return self._fwd(self.variables, self.preprocess(images))
 
     def image2embedding(self, image: np.ndarray) -> jax.Array:
         """Bottleneck trunk feature, L2-normalized (tdn.py:117-137)."""
-        img = image_ops.normalize_minmax(jnp.asarray(image, dtype=jnp.float32))
+        img = image_ops.normalize_image(
+            jnp.asarray(image, dtype=jnp.float32), self.input_norm
+        )
         feat = self._fwd_bottleneck(self.variables, img[None])[0]
         flat = feat.reshape(1, -1).astype(jnp.float32)
         return flat / jnp.maximum(jnp.linalg.norm(flat, axis=1, keepdims=True), 1e-12)

@@ -29,6 +29,44 @@ def normalize_minmax(img: jax.Array, lo: float = 0.0, hi: float = 255.0) -> jax.
     return (img - mn) * scale + lo
 
 
+def normalize_per_channel(img: jax.Array) -> jax.Array:
+    """Standardize each channel of (H, W, C) to zero mean / unit std.
+
+    The DIGIT's LED ring randomizes per-channel color gain (up to +-15%,
+    tacto config_digit_shadow jitter; render.digit._sample_lighting) and
+    the global minmax normalization the reference uses (tdn.py:108) leaves
+    that gain in the TDN input — measured as the dominant nuisance
+    destabilizing estimated fine relief (PROBE_TDN_boulder.json: lighting
+    alone drops same-site est retrieval 1.00 -> 0.35). Per-channel
+    standardization removes the per-channel affine lighting component at
+    the input, before the network has to learn invariance to it."""
+    mean = jnp.mean(img, axis=(0, 1), keepdims=True)
+    std = jnp.std(img, axis=(0, 1), keepdims=True)
+    return (img - mean) / jnp.maximum(std, 1e-6)
+
+
+def normalize_image(img: jax.Array, mode: str = "minmax") -> jax.Array:
+    """TDN input normalization: 'minmax' (reference parity, tdn.py:108)
+    or 'per_channel' (lighting-robust; see normalize_per_channel)."""
+    if mode == "per_channel":
+        return normalize_per_channel(img)
+    if mode != "minmax":
+        raise ValueError(f"unknown input_norm {mode!r}")
+    return normalize_minmax(img)
+
+
+def highpass(img: jax.Array, k: int = 9) -> jax.Array:
+    """Image (H, W) minus its k x k box blur — the fine-relief component
+    of a heightmap. reduce_window mean filter with SAME edge handling
+    (border means are over the in-bounds window)."""
+    ones = jnp.ones_like(img)
+    win = (k, k)
+    pads = ((k // 2, k - 1 - k // 2), (k // 2, k - 1 - k // 2))
+    ssum = jax.lax.reduce_window(img, 0.0, jax.lax.add, win, (1, 1), pads)
+    cnt = jax.lax.reduce_window(ones, 0.0, jax.lax.add, win, (1, 1), pads)
+    return img - ssum / cnt
+
+
 def pix_to_meter(pix: jax.Array, pixmm: float) -> jax.Array:
     """(digit_renderer.py:78-82)"""
     return pix * pixmm / 1000.0

@@ -31,9 +31,13 @@ from midastouch_tpu.utils.config import compose
 from midastouch_tpu.utils.misc import DIRS
 
 
-def make_train_step(model: FCRN, tx):
-    """Pure train step: (params, batch_stats, opt_state, batch, rng) ->
-    (params, batch_stats, opt_state, loss). dp-shardable over the batch."""
+def make_loss_fn(model: FCRN, relief_weight: float = 0.0,
+                 relief_kernel: int = 9):
+    """Pixelwise MSE plus an optional fine-relief term: the canonical
+    descriptor downstream consumes the HIGHPASS of the heightmap (sub-mm
+    relief inside the contact), which plain MSE underweights — the smooth
+    press/curvature component dominates the residual while the TDN's fine
+    relief stays render-unstable (PROBE_TDN_boulder.json)."""
 
     def loss_fn(params, batch_stats, images, targets, rng):
         out, mutated = model.apply(
@@ -43,8 +47,21 @@ def make_train_step(model: FCRN, tx):
             mutable=["batch_stats"],
             rngs={"dropout": rng},
         )
-        loss = jnp.mean((out - targets) ** 2)
+        t32 = targets.astype(out.dtype)
+        loss = jnp.mean((out - t32) ** 2)
+        if relief_weight > 0.0:
+            hp = jax.vmap(lambda x: image_ops.highpass(x, relief_kernel))
+            loss = loss + relief_weight * jnp.mean((hp(out) - hp(t32)) ** 2)
         return loss, mutated["batch_stats"]
+
+    return loss_fn
+
+
+def make_train_step(model: FCRN, tx, relief_weight: float = 0.0,
+                    relief_kernel: int = 9):
+    """Pure train step: (params, batch_stats, opt_state, batch, rng) ->
+    (params, batch_stats, opt_state, loss). dp-shardable over the batch."""
+    loss_fn = make_loss_fn(model, relief_weight, relief_kernel)
 
     @jax.jit
     def step(params, batch_stats, opt_state, images, targets, rng):
@@ -58,20 +75,240 @@ def make_train_step(model: FCRN, tx):
     return step
 
 
-def _normalize_images(images: np.ndarray) -> np.ndarray:
-    out = np.empty(images.shape, np.float32)
-    for i, im in enumerate(images):
-        im = im.astype(np.float32)
-        rng = im.max() - im.min()
-        out[i] = (im - im.min()) * (255.0 / max(rng, 1e-6))
-    return out
+def make_epoch_step(model: FCRN, tx, input_norm: str,
+                    relief_weight: float = 0.0, relief_kernel: int = 9):
+    """One WHOLE epoch as a single device program: the dataset lives in
+    HBM (uint8 images / f16 targets), a lax.scan walks permuted batch
+    indices, and normalization happens on device. Through the TPU tunnel
+    the per-batch host dispatch + 7 MB image upload dominated training
+    (~0.9 s/step at batch 8); this path costs one dispatch per epoch."""
+    loss_fn = make_loss_fn(model, relief_weight, relief_kernel)
+
+    @jax.jit
+    def epoch(params, batch_stats, opt_state, key, images_u8, targets_f16,
+              perm):
+        def body(carry, bidx):
+            params, batch_stats, opt_state, key = carry
+            key, kd = jax.random.split(key)
+            imgs = jax.vmap(
+                lambda im: image_ops.normalize_image(
+                    im.astype(jnp.float32), input_norm
+                )
+            )(images_u8[bidx])
+            (loss, new_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, batch_stats, imgs, targets_f16[bidx], kd)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, new_stats, opt_state, key), loss
+
+        (params, batch_stats, opt_state, _), losses = jax.lax.scan(
+            body, (params, batch_stats, opt_state, key), perm
+        )
+        return params, batch_stats, opt_state, losses
+
+    return epoch
+
+
+def make_paired_epoch_step(model: FCRN, tx, input_norm: str,
+                           relief_weight: float = 0.0,
+                           relief_kernel: int = 9,
+                           pair_weight: float = 10.0):
+    """Epoch scan over LIGHTING PAIRS: each sample is the same touch
+    rendered under two independent lighting draws (scripts/
+    gen_paired_lighting.py). Loss = supervised MSE+relief on both views
+    plus `pair_weight` * MSE between the two predicted fine reliefs —
+    the explicit invariance objective single randomized images failed to
+    teach (PROBE_TDN_boulder.json: lighting alone collapses same-site
+    estimated-relief retrieval to ~0.32 even with per-channel input
+    normalization; moving LED shadows are a spatial nuisance)."""
+
+    def norm(ims_u8):
+        return jax.vmap(
+            lambda im: image_ops.normalize_image(
+                im.astype(jnp.float32), input_norm
+            )
+        )(ims_u8)
+
+    hp = jax.vmap(lambda x: image_ops.highpass(x, relief_kernel))
+
+    def loss_fn(params, batch_stats, img_a, img_b, targets, rng):
+        b = img_a.shape[0]
+        # one batch of 2B keeps batch-norm statistics shared across views
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            jnp.concatenate([img_a, img_b], axis=0),
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": rng},
+        )
+        out_a, out_b = out[:b], out[b:]
+        t32 = targets.astype(out.dtype)
+        sup = 0.5 * (jnp.mean((out_a - t32) ** 2)
+                     + jnp.mean((out_b - t32) ** 2))
+        # FULL-map pair consistency (not just the highpass): the band
+        # anchor downstream keys off absolute depths, so a lighting-
+        # dependent smooth bias shifts the whole relief band even when
+        # the fine relief is stable
+        loss = sup + pair_weight * jnp.mean((out_a - out_b) ** 2)
+        if relief_weight > 0.0:
+            hpa, hpb, hpt = hp(out_a), hp(out_b), hp(t32)
+            loss = loss + relief_weight * 0.5 * (
+                jnp.mean((hpa - hpt) ** 2) + jnp.mean((hpb - hpt) ** 2)
+            )
+        return loss, mutated["batch_stats"]
+
+    @jax.jit
+    def epoch(params, batch_stats, opt_state, key, img_a_u8, img_b_u8,
+              targets_f16, perm):
+        def body(carry, bidx):
+            params, batch_stats, opt_state, key = carry
+            key, kd = jax.random.split(key)
+            (loss, new_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, batch_stats, norm(img_a_u8[bidx]),
+              norm(img_b_u8[bidx]), targets_f16[bidx], kd)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, new_stats, opt_state, key), loss
+
+        (params, batch_stats, opt_state, _), losses = jax.lax.scan(
+            body, (params, batch_stats, opt_state, key), perm
+        )
+        return params, batch_stats, opt_state, losses
+
+    return epoch
+
+
+def train_paired(
+    cfg,
+    paired_npz: str,
+    epochs: int = 15,
+    batch_size: int = 8,
+    lr: float = 1e-4,
+    val_frac: float = 0.1,
+    out_path: str | None = None,
+    seed: int = 0,
+    log_every: int = 1,
+    resume_path: str | None = None,
+):
+    """Train the TDN on a paired-lighting bank (gen_paired_lighting.py).
+    Val metric stays plain heightmap RMSE (view A) for comparability, and
+    a pair-consistency RMSE of the fine relief is reported alongside."""
+    z = np.load(paired_npz)
+    img_a, img_b = z["images_a"], z["images_b"]
+    targets = z["heightmaps"]
+    n = len(img_a)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    n_val = max(int(n * val_frac), 1)
+    val_idx, train_idx = perm[:n_val], perm[n_val:]
+
+    h, w = int(cfg.tdn.render.height), int(cfg.tdn.render.width)
+    input_norm = str(cfg.tdn.fcrn.sim.get("input_norm", "minmax"))
+    tcfg = cfg.tdn.get("train", {})
+    relief_weight = float(tcfg.get("relief_weight", 0.0))
+    relief_kernel = int(tcfg.get("relief_kernel", 9))
+    pair_weight = float(tcfg.get("pair_weight", 10.0))
+    model = FCRN(out_size=(h, w))
+    key = jax.random.PRNGKey(seed)
+    if resume_path and os.path.exists(resume_path):
+        from midastouch_tpu.models.params_io import load_variables
+
+        variables = load_variables(resume_path)
+        print(f"resumed weights from {resume_path}")
+    else:
+        variables = model.init(key, jnp.zeros((1, h, w, 3)), train=False)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    steps_per_epoch = max(len(train_idx) // batch_size, 1)
+    sched = optax.exponential_decay(
+        lr, transition_steps=10 * steps_per_epoch, decay_rate=0.6,
+        staircase=True,
+    )
+    tx = optax.adam(sched)
+    opt_state = tx.init(params)
+    epoch_step = make_paired_epoch_step(
+        model, tx, input_norm, relief_weight, relief_kernel, pair_weight
+    )
+
+    a_dev, b_dev = jnp.asarray(img_a), jnp.asarray(img_b)
+    t_dev = jnp.asarray(targets)
+
+    def norm(x):
+        return jax.vmap(lambda im: image_ops.normalize_image(
+            im.astype(jnp.float32), input_norm))(x)
+
+    eval_fwd = jax.jit(
+        lambda p, bs, x: model.apply(
+            {"params": p, "batch_stats": bs}, norm(x), train=False
+        )
+    )
+    hp_j = jax.jit(jax.vmap(lambda x: image_ops.highpass(x, relief_kernel)))
+
+    if out_path is None:
+        out_path = os.path.join(DIRS["weights"], str(cfg.tdn.tdn_weights))
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+
+    best_val = np.inf
+    history = []
+    va, vb = a_dev[jnp.asarray(val_idx)], b_dev[jnp.asarray(val_idx)]
+    vt = targets[val_idx].astype(np.float32)
+    for epoch in range(epochs):
+        rng.shuffle(train_idx)
+        steps = len(train_idx) // batch_size
+        perm_e = jnp.asarray(
+            train_idx[: steps * batch_size].reshape(steps, batch_size)
+            .astype(np.int32)
+        )
+        key, ke = jax.random.split(key)
+        params, batch_stats, opt_state, losses = runtime.retry_transient(
+            epoch_step, params, batch_stats, opt_state, ke,
+            a_dev, b_dev, t_dev, perm_e,
+        )
+        losses = np.asarray(jax.device_get(losses))
+
+        oa = eval_fwd(params, batch_stats, va)
+        ob = eval_fwd(params, batch_stats, vb)
+        val_rmse_mm = float(
+            np.sqrt(np.mean((np.asarray(oa) - vt) ** 2))
+        ) * float(cfg.tdn.render.pixmm)
+        pair_rmse_mm = float(np.sqrt(np.mean(
+            (np.asarray(hp_j(oa)) - np.asarray(hp_j(ob))) ** 2
+        ))) * float(cfg.tdn.render.pixmm)
+        history.append({
+            "epoch": epoch, "train_loss": float(np.mean(losses)),
+            "val_rmse_mm": val_rmse_mm, "pair_relief_rmse_mm": pair_rmse_mm,
+        })
+        if epoch % log_every == 0 or epoch == epochs - 1:
+            print(
+                f"epoch {epoch}: loss {np.mean(losses):.3f}, "
+                f"val RMSE {val_rmse_mm:.4f} mm, "
+                f"pair relief RMSE {pair_rmse_mm:.4f} mm"
+            )
+        # selection gate = the INVARIANCE the pipeline needs, tie-broken
+        # by supervised accuracy
+        score = pair_rmse_mm + 0.1 * val_rmse_mm
+        if score < best_val:
+            best_val = score
+            save_variables(
+                out_path, {"params": params, "batch_stats": batch_stats}
+            )
+    print(f"best score {best_val:.4f} -> {out_path}")
+    import json
+
+    with open(out_path + ".history.json", "w") as fh:
+        json.dump(history, fh)
+    return {"best_score": best_val, "history": history, "out_path": out_path}
 
 
 def load_training_data(data_paths: list[str]):
+    """Raw uint8 images + f16 heightmap targets (normalization happens on
+    device with the configured input_norm; see make_epoch_step)."""
     images, heightmaps = [], []
     for p in data_paths:
-        images.append(_normalize_images(dataio.load_images(p)))
-        heightmaps.append(dataio.load_heightmaps(p))
+        images.append(dataio.load_images(p))
+        heightmaps.append(dataio.load_heightmaps(p).astype(np.float16))
     return np.concatenate(images), np.concatenate(heightmaps)
 
 
@@ -95,6 +332,10 @@ def train(
     val_idx, train_idx = perm[:n_val], perm[n_val:]
 
     h, w = int(cfg.tdn.render.height), int(cfg.tdn.render.width)
+    input_norm = str(cfg.tdn.fcrn.sim.get("input_norm", "minmax"))
+    tcfg = cfg.tdn.get("train", {})
+    relief_weight = float(tcfg.get("relief_weight", 0.0))
+    relief_kernel = int(tcfg.get("relief_kernel", 9))
     model = FCRN(out_size=(h, w))
     key = jax.random.PRNGKey(seed)
     if resume_path and os.path.exists(resume_path):
@@ -113,10 +354,23 @@ def train(
     )
     tx = optax.adam(sched)
     opt_state = tx.init(params)
-    step = make_train_step(model, tx)
+    epoch_step = make_epoch_step(
+        model, tx, input_norm, relief_weight, relief_kernel
+    )
+
+    # dataset resident in HBM: uint8 images + f16 targets; every epoch is
+    # ONE device dispatch (make_epoch_step docstring)
+    images_dev = jnp.asarray(images)
+    targets_dev = jnp.asarray(targets)
 
     eval_fwd = jax.jit(
-        lambda v, x: model.apply(v, x, train=False)
+        lambda p, bs, x: model.apply(
+            {"params": p, "batch_stats": bs},
+            jax.vmap(lambda im: image_ops.normalize_image(
+                im.astype(jnp.float32), input_norm
+            ))(x),
+            train=False,
+        )
     )
 
     if out_path is None:
@@ -125,26 +379,25 @@ def train(
 
     best_val = np.inf
     history = []
+    val_dev = images_dev[jnp.asarray(val_idx)]
+    val_tgt = targets[val_idx].astype(np.float32)
     for epoch in range(epochs):
         rng.shuffle(train_idx)
-        losses = []
-        for i in range(0, len(train_idx) - batch_size + 1, batch_size):
-            bidx = train_idx[i : i + batch_size]
-            key, kd = jax.random.split(key)
-            params, batch_stats, opt_state, loss = runtime.retry_transient(
-                step,
-                params, batch_stats, opt_state,
-                jnp.asarray(images[bidx]), jnp.asarray(targets[bidx]), kd,
-            )
-            losses.append(loss)  # device scalar; fetched once per epoch
-        losses = [float(x) for x in jax.device_get(losses)]
+        steps = len(train_idx) // batch_size
+        perm_e = jnp.asarray(
+            train_idx[: steps * batch_size].reshape(steps, batch_size)
+            .astype(np.int32)
+        )
+        key, ke = jax.random.split(key)
+        params, batch_stats, opt_state, losses = runtime.retry_transient(
+            epoch_step, params, batch_stats, opt_state, ke,
+            images_dev, targets_dev, perm_e,
+        )
+        losses = np.asarray(jax.device_get(losses))
 
         # val RMSE in mm (x pixmm, reference test RMSE convention train.py:288)
-        vb = images[val_idx]
-        vout = np.asarray(
-            eval_fwd({"params": params, "batch_stats": batch_stats}, jnp.asarray(vb))
-        )
-        val_rmse_px = float(np.sqrt(np.mean((vout - targets[val_idx]) ** 2)))
+        vout = np.asarray(eval_fwd(params, batch_stats, val_dev))
+        val_rmse_px = float(np.sqrt(np.mean((vout - val_tgt) ** 2)))
         val_rmse_mm = val_rmse_px * float(cfg.tdn.render.pixmm)
         history.append({"epoch": epoch, "train_loss": float(np.mean(losses)),
                         "val_rmse_mm": val_rmse_mm})

@@ -66,7 +66,9 @@ def render_full_bank(cfg, obj: str, n: int, path: str, seed: int = 3):
             lambda a: renderer._render_impl(*a),
             (pose, press, light, angle, color, bg_id),
         )
-        imgs = jax.vmap(image_ops.normalize_minmax)(rgb * 255.0)
+        imgs = jax.vmap(
+            lambda im: image_ops.normalize_image(im, tdn.input_norm)
+        )(rgb * 255.0)
         est_hm = tdn.model.apply(tdn_vars, imgs, train=False)
         est_mask = jax.vmap(
             lambda h: image_ops.heightmap_to_mask(
@@ -133,11 +135,13 @@ def main():
     kv = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
     obj = kv.get("obj", "boulder")
     n = int(kv.get("n", 10000))
-    out_path = kv.get("out", f"ABLATION_{obj}.json")
+    tag = kv.get("tag", "")  # distinguishes banks built with different TDNs
+    out_path = kv.get("out", f"ABLATION_{obj}{'_' + tag if tag else ''}.json")
 
     cfg = compose([f"expt.obj_model={obj}", "tpu.render_max_faces=512"])
     bank_path = os.path.join(
-        "data", "codebooks", obj, f"ablation_bank_{n}.npz"
+        "data", "codebooks", obj,
+        f"ablation_bank_{n}{'_' + tag if tag else ''}.npz",
     )
     os.makedirs(os.path.dirname(bank_path), exist_ok=True)
     if not os.path.exists(bank_path):

@@ -96,7 +96,9 @@ def main():
             lambda a: renderer._render_impl(*a),
             (pose, press, light, angle, color, bg_id),
         )
-        imgs = jax.vmap(image_ops.normalize_minmax)(rgb * 255.0)
+        imgs = jax.vmap(
+            lambda im: image_ops.normalize_image(im, tdn.input_norm)
+        )(rgb * 255.0)
         est_hm = tdn.model.apply(tdn_vars, imgs, train=False)
         est_mask = jax.vmap(
             lambda h: image_ops.heightmap_to_mask(

@@ -31,6 +31,108 @@ def test_tdn_train_step_reduces_loss():
     assert np.isfinite(losses).all()
 
 
+@pytest.mark.slow
+def test_tdn_epoch_step_matches_per_batch_semantics():
+    """The one-dispatch epoch scan must train: loss decreases over epochs
+    and the relief term contributes a finite gradient."""
+    from midastouch_tpu.train.train_tdn import make_epoch_step
+
+    model = FCRN(layers=(1, 1, 1, 1), out_size=(64, 48))
+    tx = optax.adam(1e-3)
+    rng = np.random.default_rng(0)
+    images = (rng.random((12, 64, 48, 3)) * 255).astype(np.uint8)
+    targets = (rng.random((12, 64, 48)) * 5).astype(np.float16)
+    variables = model.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 64, 48, 3)), train=False
+    )
+    params, stats = variables["params"], variables["batch_stats"]
+    opt_state = tx.init(params)
+    epoch = make_epoch_step(model, tx, "per_channel",
+                            relief_weight=5.0, relief_kernel=5)
+    perm = jnp.asarray(
+        rng.permutation(12).reshape(3, 4).astype(np.int32)
+    )
+    first = None
+    for e in range(4):
+        params, stats, opt_state, losses = epoch(
+            params, stats, opt_state, jax.random.PRNGKey(e),
+            jnp.asarray(images), jnp.asarray(targets), perm,
+        )
+        losses = np.asarray(losses)
+        assert np.isfinite(losses).all()
+        if first is None:
+            first = losses.mean()
+    assert losses.mean() < first
+
+
+@pytest.mark.slow
+def test_tdn_paired_epoch_step_trains_and_aligns_views():
+    from midastouch_tpu.train.train_tdn import make_paired_epoch_step
+
+    model = FCRN(layers=(1, 1, 1, 1), out_size=(64, 48))
+    tx = optax.adam(1e-3)
+    rng = np.random.default_rng(0)
+    base = (rng.random((8, 64, 48, 3)) * 200).astype(np.float32)
+    # view B = view A under a different "lighting" (gain + offset)
+    img_a = base.astype(np.uint8)
+    img_b = np.clip(base * 1.2 + 10, 0, 255).astype(np.uint8)
+    targets = (rng.random((8, 64, 48)) * 5).astype(np.float16)
+    variables = model.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 64, 48, 3)), train=False
+    )
+    params, stats = variables["params"], variables["batch_stats"]
+    opt_state = tx.init(params)
+    epoch = make_paired_epoch_step(model, tx, "per_channel",
+                                   relief_weight=1.0, relief_kernel=5,
+                                   pair_weight=5.0)
+    perm = jnp.asarray(rng.permutation(8).reshape(2, 4).astype(np.int32))
+    first = None
+    for e in range(4):
+        params, stats, opt_state, losses = epoch(
+            params, stats, opt_state, jax.random.PRNGKey(e),
+            jnp.asarray(img_a), jnp.asarray(img_b), jnp.asarray(targets),
+            perm,
+        )
+        losses = np.asarray(losses)
+        assert np.isfinite(losses).all()
+        if first is None:
+            first = losses.mean()
+    assert losses.mean() < first
+
+
+def test_normalize_image_modes():
+    from midastouch_tpu.ops import image as image_ops
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((16, 12, 3)).astype(np.float32) * 100)
+    mm = np.asarray(image_ops.normalize_image(img, "minmax"))
+    assert mm.min() == pytest.approx(0.0, abs=1e-4)
+    assert mm.max() == pytest.approx(255.0, rel=1e-4)
+    pc = np.asarray(image_ops.normalize_image(img, "per_channel"))
+    assert np.abs(pc.mean(axis=(0, 1))).max() < 1e-4
+    assert np.abs(pc.std(axis=(0, 1)) - 1.0).max() < 1e-4
+    # per-channel affine lighting (gain+offset per channel) is removed
+    gains = jnp.asarray([1.3, 0.8, 1.1])
+    lit = img * gains[None, None, :] + jnp.asarray([5.0, -3.0, 0.0])
+    pc2 = np.asarray(image_ops.normalize_image(lit, "per_channel"))
+    assert np.abs(pc2 - pc).max() < 1e-3
+    with pytest.raises(ValueError):
+        image_ops.normalize_image(img, "nope")
+
+
+def test_highpass_removes_smooth_keeps_fine():
+    from midastouch_tpu.ops import image as image_ops
+
+    ys, xs = np.mgrid[0:64, 0:48].astype(np.float32)
+    smooth = 0.05 * xs + 0.03 * ys  # ramp: should vanish
+    fine = np.sin(xs * 2.0) * np.sin(ys * 2.0)  # ~3 px period: should stay
+    hp_s = np.asarray(image_ops.highpass(jnp.asarray(smooth), k=9))
+    hp_f = np.asarray(image_ops.highpass(jnp.asarray(fine), k=9))
+    inner = (slice(8, -8), slice(8, -8))
+    assert np.abs(hp_s[inner]).max() < 0.05
+    assert np.std(hp_f[inner]) > 0.5 * np.std(fine[inner])
+
+
 def test_pose_masks():
     pos = np.array([[0, 0, 0], [0.001, 0, 0], [0.1, 0, 0]], dtype=np.float32)
     p, n = pose_masks(pos, pos_dist=0.002, neg_dist=0.01)
