@@ -46,6 +46,11 @@ class FilterParams(NamedTuple):
     # faster steps). "weighted_random" (multinomial) remains available.
     resample_method: str = "systematic"
     backend: str = "auto"  # NN kernel backend
+    # measurement softmax temperature: cosines live in [-1, 1], so the
+    # reference's raw softmax (filter.py:172) yields near-uniform weights
+    # (measured ESS 0.91, LIKELIHOOD_boulder.json); T < 1 sharpens the
+    # update. 1.0 = reference parity.
+    softmax_temp: float = 1.0
 
 
 @dataclasses.dataclass
@@ -74,6 +79,7 @@ class ParticleFilter:
             cluster_subsample=int(cfg.tpu.cluster_max_points),
             resample_method=str(cfg.tpu.resample_method),
             backend=str(cfg.tpu.backend),
+            softmax_temp=float(cfg.tpu.get("softmax_temp", 1.0)),
         )
         # The drift gate compares particle->nearest-VERTEX distance against
         # pen_max (2 mm); the table must stay denser than the gate or true
@@ -165,7 +171,7 @@ class ParticleFilter:
         # uniformly in its resampler; uniform is the same semantics without
         # letting negative cosines leak into ranks/averages)
         degenerate = jnp.abs(wmax - wmin) < 1e-8
-        sm = jax.nn.softmax(wa)
+        sm = jax.nn.softmax(wa / self.params.softmax_temp)
         sm = jnp.where(jnp.isfinite(sm), sm, 0.0)
         return jnp.where(degenerate, alive.astype(w.dtype), sm)
 

@@ -132,7 +132,8 @@ def make_paired_epoch_step(model: FCRN, tx, input_norm: str,
 
     hp = jax.vmap(lambda x: image_ops.highpass(x, relief_kernel))
 
-    def loss_fn(params, batch_stats, img_a, img_b, targets, rng):
+    def loss_fn(params, batch_stats, img_a, img_b, t_a, t_b, same_press,
+                rng):
         b = img_a.shape[0]
         # one batch of 2B keeps batch-norm statistics shared across views
         out, mutated = model.apply(
@@ -143,31 +144,40 @@ def make_paired_epoch_step(model: FCRN, tx, input_norm: str,
             rngs={"dropout": rng},
         )
         out_a, out_b = out[:b], out[b:]
-        t32 = targets.astype(out.dtype)
-        sup = 0.5 * (jnp.mean((out_a - t32) ** 2)
-                     + jnp.mean((out_b - t32) ** 2))
+        ta32, tb32 = t_a.astype(out.dtype), t_b.astype(out.dtype)
+        sup = 0.5 * (jnp.mean((out_a - ta32) ** 2)
+                     + jnp.mean((out_b - tb32) ** 2))
         # FULL-map pair consistency (not just the highpass): the band
         # anchor downstream keys off absolute depths, so a lighting-
         # dependent smooth bias shifts the whole relief band even when
-        # the fine relief is stable
-        loss = sup + pair_weight * jnp.mean((out_a - out_b) ** 2)
+        # the fine relief is stable. Only valid for same-press pairs —
+        # press pairs legitimately differ in the smooth component, so
+        # they get the highpass (fine-relief) consistency term instead.
+        sp = same_press.astype(out.dtype)[:, None, None]
+        hpa, hpb = hp(out_a), hp(out_b)
+        pair = (
+            jnp.mean(sp * (out_a - out_b) ** 2)
+            + jnp.mean((1.0 - sp) * (hpa - hpb) ** 2)
+        )
+        loss = sup + pair_weight * pair
         if relief_weight > 0.0:
-            hpa, hpb, hpt = hp(out_a), hp(out_b), hp(t32)
+            hpta, hptb = hp(ta32), hp(tb32)
             loss = loss + relief_weight * 0.5 * (
-                jnp.mean((hpa - hpt) ** 2) + jnp.mean((hpb - hpt) ** 2)
+                jnp.mean((hpa - hpta) ** 2) + jnp.mean((hpb - hptb) ** 2)
             )
         return loss, mutated["batch_stats"]
 
     @jax.jit
     def epoch(params, batch_stats, opt_state, key, img_a_u8, img_b_u8,
-              targets_f16, perm):
+              targets_a_f16, targets_b_f16, same_press, perm):
         def body(carry, bidx):
             params, batch_stats, opt_state, key = carry
             key, kd = jax.random.split(key)
             (loss, new_stats), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(params, batch_stats, norm(img_a_u8[bidx]),
-              norm(img_b_u8[bidx]), targets_f16[bidx], kd)
+              norm(img_b_u8[bidx]), targets_a_f16[bidx],
+              targets_b_f16[bidx], same_press[bidx], kd)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, new_stats, opt_state, key), loss
@@ -198,6 +208,13 @@ def train_paired(
     z = np.load(paired_npz)
     img_a, img_b = z["images_a"], z["images_b"]
     targets = z["heightmaps"]
+    # mixed banks carry per-view targets + a same-press flag; early
+    # lighting-only banks had one target and equal press throughout
+    targets_b = z["heightmaps_b"] if "heightmaps_b" in z else targets
+    same_press = (
+        z["same_press"] if "same_press" in z
+        else np.ones(len(img_a), bool)
+    )
     n = len(img_a)
     rng = np.random.default_rng(seed)
     perm = rng.permutation(n)
@@ -233,7 +250,8 @@ def train_paired(
     )
 
     a_dev, b_dev = jnp.asarray(img_a), jnp.asarray(img_b)
-    t_dev = jnp.asarray(targets)
+    t_dev, tb_dev = jnp.asarray(targets), jnp.asarray(targets_b)
+    sp_dev = jnp.asarray(same_press)
 
     def norm(x):
         return jax.vmap(lambda im: image_ops.normalize_image(
@@ -264,7 +282,7 @@ def train_paired(
         key, ke = jax.random.split(key)
         params, batch_stats, opt_state, losses = runtime.retry_transient(
             epoch_step, params, batch_stats, opt_state, ke,
-            a_dev, b_dev, t_dev, perm_e,
+            a_dev, b_dev, t_dev, tb_dev, sp_dev, perm_e,
         )
         losses = np.asarray(jax.device_get(losses))
 

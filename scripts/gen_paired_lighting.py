@@ -51,26 +51,37 @@ def main():
         shear_mag_deg=float(cfg.tdn.render.shear_mag),
     )
 
-    def fused(pose, press, la, ca, ba, lb, cb, bb, ga, gb):
+    def fused(pose, pr_a, pr_b, la, ca, ba, lb, cb, bb, ga, gb):
         def one(args):
-            p, pr, l_a, c_a, b_a, l_b, c_b, b_b, g_a, g_b = args
-            rgb_a, hm, _m, _pe, _cam = renderer._render_impl(
-                p, pr, g_a, l_a, c_a, b_a
+            p, p_a, p_b, l_a, c_a, b_a, l_b, c_b, b_b, g_a, g_b = args
+            rgb_a, hm_a, _m, _pe, _cam = renderer._render_impl(
+                p, p_a, g_a, l_a, c_a, b_a
             )
-            rgb_b, _hm, _m2, _pe2, _cam2 = renderer._render_impl(
-                p, pr, g_b, l_b, c_b, b_b
+            rgb_b, hm_b, _m2, _pe2, _cam2 = renderer._render_impl(
+                p, p_b, g_b, l_b, c_b, b_b
             )
             return (
                 (rgb_a * 255.0).astype(jnp.uint8),
                 (rgb_b * 255.0).astype(jnp.uint8),
-                hm.astype(jnp.float16),
+                hm_a.astype(jnp.float16),
+                hm_b.astype(jnp.float16),
             )
 
-        return jax.lax.map(one, (pose, press, la, ca, ba, lb, cb, bb, ga, gb))
+        return jax.lax.map(
+            one, (pose, pr_a, pr_b, la, ca, ba, lb, cb, bb, ga, gb)
+        )
 
     fused_j = jax.jit(fused)
-    press = rng.uniform(
+    press_a = rng.uniform(
         renderer.cfg.pen_min, renderer.cfg.pen_max, n
+    ).astype(np.float32)
+    # half the pairs also differ in press depth: their predicted FINE
+    # relief should agree (press shifts the smooth component only), giving
+    # the trainer a press-invariance signal the lighting pairs lack
+    same_press = rng.random(n) < 0.5
+    press_b = np.where(
+        same_press, press_a,
+        rng.uniform(renderer.cfg.pen_min, renderer.cfg.pen_max, n),
     ).astype(np.float32)
 
     def light_draws(seed):
@@ -91,17 +102,17 @@ def main():
     lb, cb, bb, gb = light_draws(200)
 
     chunk = 64
-    arrs = [poses, press, la, ca, ba, lb, cb, bb, ga, gb]
+    arrs = [poses, press_a, press_b, la, ca, ba, lb, cb, bb, ga, gb]
     pad = (-n) % chunk
     if pad:
         arrs = [np.concatenate([a, np.repeat(a[-1:], pad, 0)]) for a in arrs]
-    outs = [[] for _ in range(3)]
+    outs = [[] for _ in range(4)]
     t0 = time.perf_counter()
     for i in range(0, n + pad, chunk):
         res = retry_transient(
             fused_j, *(jnp.asarray(a[i : i + chunk]) for a in arrs)
         )
-        for k in range(3):
+        for k in range(4):
             outs[k].append(np.asarray(res[k]))
         done = min(i + chunk, n)
         print(f"\r{done}/{n} ({done/(time.perf_counter()-t0):.1f} pairs/s)",
@@ -112,6 +123,8 @@ def main():
         images_a=np.concatenate(outs[0])[:n],
         images_b=np.concatenate(outs[1])[:n],
         heightmaps=np.concatenate(outs[2])[:n],
+        heightmaps_b=np.concatenate(outs[3])[:n],
+        same_press=same_press,
     )
     print(f"wrote {out}")
 

@@ -86,12 +86,13 @@ def test_tdn_paired_epoch_step_trains_and_aligns_views():
                                    relief_weight=1.0, relief_kernel=5,
                                    pair_weight=5.0)
     perm = jnp.asarray(rng.permutation(8).reshape(2, 4).astype(np.int32))
+    same_press = jnp.asarray(np.array([1, 1, 1, 1, 0, 0, 0, 0], bool))
     first = None
     for e in range(4):
         params, stats, opt_state, losses = epoch(
             params, stats, opt_state, jax.random.PRNGKey(e),
             jnp.asarray(img_a), jnp.asarray(img_b), jnp.asarray(targets),
-            perm,
+            jnp.asarray(targets), same_press, perm,
         )
         losses = np.asarray(losses)
         assert np.isfinite(losses).all()
