@@ -81,8 +81,15 @@ def make_epoch_step(model: FCRN, tx, input_norm: str,
     HBM (uint8 images / f16 targets), a lax.scan walks permuted batch
     indices, and normalization happens on device. Through the TPU tunnel
     the per-batch host dispatch + 7 MB image upload dominated training
-    (~0.9 s/step at batch 8); this path costs one dispatch per epoch."""
+    (~0.9 s/step at batch 8); this path costs one dispatch per epoch.
+
+    Datasets arrive FLATTENED to (n, H*W*C) rows and are reshaped after
+    the per-batch gather: gathering rows of a 4-D (n, H, W, 3) array made
+    XLA materialize full tiled-layout copies of every dataset argument
+    inside the program (an extra ~6.7 GB at 8k pairs — the OOM in
+    /tmp/tdnpair3.log), while 2-D row gathers use the argument in place."""
     loss_fn = make_loss_fn(model, relief_weight, relief_kernel)
+    h, w = model.out_size
 
     @jax.jit
     def epoch(params, batch_stats, opt_state, key, images_u8, targets_f16,
@@ -90,14 +97,16 @@ def make_epoch_step(model: FCRN, tx, input_norm: str,
         def body(carry, bidx):
             params, batch_stats, opt_state, key = carry
             key, kd = jax.random.split(key)
+            b = bidx.shape[0]
             imgs = jax.vmap(
                 lambda im: image_ops.normalize_image(
                     im.astype(jnp.float32), input_norm
                 )
-            )(images_u8[bidx])
+            )(images_u8[bidx].reshape(b, h, w, 3))
             (loss, new_stats), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
-            )(params, batch_stats, imgs, targets_f16[bidx], kd)
+            )(params, batch_stats, imgs,
+              targets_f16[bidx].reshape(b, h, w), kd)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, new_stats, opt_state, key), loss
@@ -167,17 +176,24 @@ def make_paired_epoch_step(model: FCRN, tx, input_norm: str,
             )
         return loss, mutated["batch_stats"]
 
+    h, w = model.out_size
+
     @jax.jit
     def epoch(params, batch_stats, opt_state, key, img_a_u8, img_b_u8,
               targets_a_f16, targets_b_f16, same_press, perm):
+        # datasets are (n, H*W*C) rows — see make_epoch_step on why 4-D
+        # dataset gathers OOM (XLA re-tiles full copies in-program)
         def body(carry, bidx):
             params, batch_stats, opt_state, key = carry
             key, kd = jax.random.split(key)
+            b = bidx.shape[0]
             (loss, new_stats), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
-            )(params, batch_stats, norm(img_a_u8[bidx]),
-              norm(img_b_u8[bidx]), targets_a_f16[bidx],
-              targets_b_f16[bidx], same_press[bidx], kd)
+            )(params, batch_stats,
+              norm(img_a_u8[bidx].reshape(b, h, w, 3)),
+              norm(img_b_u8[bidx].reshape(b, h, w, 3)),
+              targets_a_f16[bidx].reshape(b, h, w),
+              targets_b_f16[bidx].reshape(b, h, w), same_press[bidx], kd)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, new_stats, opt_state, key), loss
@@ -201,10 +217,13 @@ def train_paired(
     seed: int = 0,
     log_every: int = 1,
     resume_path: str | None = None,
+    max_pairs: int | None = None,
 ):
     """Train the TDN on a paired-lighting bank (gen_paired_lighting.py).
     Val metric stays plain heightmap RMSE (view A) for comparability, and
-    a pair-consistency RMSE of the fine relief is reported alongside."""
+    a pair-consistency RMSE of the fine relief is reported alongside.
+    `max_pairs` bounds the HBM-resident dataset — the v5e runtime faults
+    above ~6k pairs (6 GB data + FCRN training state)."""
     z = np.load(paired_npz)
     img_a, img_b = z["images_a"], z["images_b"]
     targets = z["heightmaps"]
@@ -215,10 +234,19 @@ def train_paired(
         z["same_press"] if "same_press" in z
         else np.ones(len(img_a), bool)
     )
+    if max_pairs is not None and len(img_a) > max_pairs:
+        sel = np.random.default_rng(seed).choice(
+            len(img_a), max_pairs, replace=False
+        )
+        img_a, img_b = img_a[sel], img_b[sel]
+        targets, targets_b = targets[sel], targets_b[sel]
+        same_press = same_press[sel]
     n = len(img_a)
     rng = np.random.default_rng(seed)
     perm = rng.permutation(n)
-    n_val = max(int(n * val_frac), 1)
+    # cap the device-resident val copies: the whole dataset already lives
+    # in HBM and an 8k-pair bank runs within ~50 MB of the v5e's 16 GB
+    n_val = min(max(int(n * val_frac), 1), 256)
     val_idx, train_idx = perm[:n_val], perm[n_val:]
 
     h, w = int(cfg.tdn.render.height), int(cfg.tdn.render.width)
@@ -249,8 +277,11 @@ def train_paired(
         model, tx, input_norm, relief_weight, relief_kernel, pair_weight
     )
 
-    a_dev, b_dev = jnp.asarray(img_a), jnp.asarray(img_b)
-    t_dev, tb_dev = jnp.asarray(targets), jnp.asarray(targets_b)
+    # FLAT rows on device (see make_epoch_step: 4-D dataset gathers OOM)
+    a_dev = jnp.asarray(img_a.reshape(n, -1))
+    b_dev = jnp.asarray(img_b.reshape(n, -1))
+    t_dev = jnp.asarray(targets.reshape(n, -1))
+    tb_dev = jnp.asarray(targets_b.reshape(n, -1))
     sp_dev = jnp.asarray(same_press)
 
     def norm(x):
@@ -259,7 +290,8 @@ def train_paired(
 
     eval_fwd = jax.jit(
         lambda p, bs, x: model.apply(
-            {"params": p, "batch_stats": bs}, norm(x), train=False
+            {"params": p, "batch_stats": bs},
+            norm(x.reshape(x.shape[0], h, w, 3)), train=False
         )
     )
     hp_j = jax.jit(jax.vmap(lambda x: image_ops.highpass(x, relief_kernel)))
@@ -376,17 +408,17 @@ def train(
         model, tx, input_norm, relief_weight, relief_kernel
     )
 
-    # dataset resident in HBM: uint8 images + f16 targets; every epoch is
-    # ONE device dispatch (make_epoch_step docstring)
-    images_dev = jnp.asarray(images)
-    targets_dev = jnp.asarray(targets)
+    # dataset resident in HBM as FLAT rows: uint8 images + f16 targets;
+    # every epoch is ONE device dispatch (make_epoch_step docstring)
+    images_dev = jnp.asarray(images.reshape(n, -1))
+    targets_dev = jnp.asarray(targets.reshape(n, -1))
 
     eval_fwd = jax.jit(
         lambda p, bs, x: model.apply(
             {"params": p, "batch_stats": bs},
             jax.vmap(lambda im: image_ops.normalize_image(
                 im.astype(jnp.float32), input_norm
-            ))(x),
+            ))(x.reshape(x.shape[0], h, w, 3)),
             train=False,
         )
     )

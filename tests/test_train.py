@@ -56,7 +56,8 @@ def test_tdn_epoch_step_matches_per_batch_semantics():
     for e in range(4):
         params, stats, opt_state, losses = epoch(
             params, stats, opt_state, jax.random.PRNGKey(e),
-            jnp.asarray(images), jnp.asarray(targets), perm,
+            jnp.asarray(images.reshape(12, -1)),
+            jnp.asarray(targets.reshape(12, -1)), perm,
         )
         losses = np.asarray(losses)
         assert np.isfinite(losses).all()
@@ -91,8 +92,10 @@ def test_tdn_paired_epoch_step_trains_and_aligns_views():
     for e in range(4):
         params, stats, opt_state, losses = epoch(
             params, stats, opt_state, jax.random.PRNGKey(e),
-            jnp.asarray(img_a), jnp.asarray(img_b), jnp.asarray(targets),
-            jnp.asarray(targets), same_press, perm,
+            jnp.asarray(img_a.reshape(8, -1)),
+            jnp.asarray(img_b.reshape(8, -1)),
+            jnp.asarray(targets.reshape(8, -1)),
+            jnp.asarray(targets.reshape(8, -1)), same_press, perm,
         )
         losses = np.asarray(losses)
         assert np.isfinite(losses).all()
