@@ -46,6 +46,9 @@ def main():
         f"expt.obj_model={obj}",
         "tpu.render_max_faces=512",
         "tcn.model.model=HeightmapFPN",
+        # own weight file: the default tcn_weights points at the shipped
+        # PatchPCA projection, which a bank run must never clobber
+        "tcn.model.tcn_weights=tcn_bank_weights.npz",
         "tcn.model.canonicalize=true",
         "tcn.model.canonical_rectify=true",
         f"tcn.train.loss={kv.get('loss', 'InfoNCE')}",
