@@ -41,6 +41,14 @@ def top_n_error(
         q_emb = emb
     else:
         q = jnp.asarray(query_embeddings, dtype=jnp.float32)
+        if q.shape[0] != m:
+            # the protocol is row-aligned self-retrieval (row i queries the
+            # touch stored at db entry i and excludes it); a mismatched row
+            # count would silently clamp slices and mis-exclude neighbours
+            raise ValueError(
+                f"query_embeddings rows ({q.shape[0]}) must equal codebook "
+                f"rows ({m}): top_n_error is a row-aligned protocol"
+            )
         q_emb = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
 
     errors = []

@@ -48,7 +48,20 @@ class TDN:
         if params_path is None:
             params_path = os.path.join(DIRS["weights"], str(cfg.tdn_weights))
         if os.path.exists(params_path):
-            self.variables = load_variables(params_path)
+            self.variables, meta = load_variables(params_path, return_meta=True)
+            # the weight artifact records the normalization it was TRAINED
+            # with; feeding it anything else is out-of-distribution by
+            # construction (e.g. the real sensor path defaulting to minmax
+            # while loading per_channel-trained sim weights), so the
+            # artifact, not the sensor-path config, wins
+            trained_norm = meta.get("input_norm")
+            if trained_norm and trained_norm != self.input_norm:
+                print(
+                    f"[tdn] overriding input_norm={self.input_norm!r} with "
+                    f"{trained_norm!r} recorded in {os.path.basename(params_path)}",
+                    flush=True,
+                )
+                self.input_norm = trained_norm
         else:  # fresh init (no pretrained assets in this environment)
             key = jax.random.PRNGKey(seed)
             self.variables = self.model.init(

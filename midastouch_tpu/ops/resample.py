@@ -111,7 +111,10 @@ def systematic_resample(
     while _gcd(stride, nb) != 1:
         stride += 1
     r = jax.random.randint(k_perm, (), 0, nb)
-    if nb * max(stride, 1) < 2**31 - 1:
+    # provably overflow-free fast path: the computed expression reaches
+    # r + (nb-1)*stride with r < nb, so guard the true maximum — nb*stride
+    # alone under-guards by up to ~nb in the narrow band just below 2**31
+    if (nb - 1) * max(stride, 1) + nb < 2**31:
         bpos = (r + jnp.arange(nb, dtype=jnp.int32) * stride) % nb
     else:  # modular-add scan avoids int32 overflow for huge N/B
         inc = jnp.full((nb,), stride % nb, jnp.int32).at[0].set(r)

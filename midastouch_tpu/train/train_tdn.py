@@ -342,7 +342,8 @@ def train_paired(
         if score < best_val:
             best_val = score
             save_variables(
-                out_path, {"params": params, "batch_stats": batch_stats}
+                out_path, {"params": params, "batch_stats": batch_stats},
+                meta={"input_norm": input_norm},
             )
     print(f"best score {best_val:.4f} -> {out_path}")
     import json
@@ -459,7 +460,8 @@ def train(
         if val_rmse_mm < best_val:
             best_val = val_rmse_mm
             save_variables(
-                out_path, {"params": params, "batch_stats": batch_stats}
+                out_path, {"params": params, "batch_stats": batch_stats},
+                meta={"input_norm": input_norm},
             )
     print(f"best val RMSE {best_val:.4f} mm -> {out_path}")
     import json

@@ -31,12 +31,17 @@ def setup(cache_dir: str | None = None) -> None:
         pass  # older jax without these flags
 
 
-def retry_transient(fn, *args, attempts: int = 3, **kwargs):
+def retry_transient(fn, *args, attempts: int = 3, block: bool = True, **kwargs):
     """Call fn, retrying on transient TPU-tunnel failures (the remote
     compile service occasionally drops the response body mid-transfer:
     'INTERNAL: ... remote_compile: read body ...'). Safe for pure/jitted
     calls — inputs are unchanged on retry. Non-transient errors re-raise
-    immediately."""
+    immediately.
+
+    block=True waits for device completion inside the try so execution-phase
+    transient errors are retried too; pass block=False for callers that
+    pipeline host prep against async dispatch and handle late failures
+    themselves (blocking would serialize their dispatch for nothing)."""
     import time as _time
 
     if attempts < 1:
@@ -48,12 +53,13 @@ def retry_transient(fn, *args, attempts: int = 3, **kwargs):
             # execution-phase transient errors (DEADLINE_EXCEEDED mid-run,
             # tunnel drops during device->host transfer) surface inside the
             # try and get retried instead of exploding at a later consumer
-            try:
-                import jax
+            if block:
+                try:
+                    import jax
 
-                jax.block_until_ready(out)
-            except ImportError:
-                pass
+                    jax.block_until_ready(out)
+                except ImportError:
+                    pass
             return out
         except Exception as e:  # jax.errors.JaxRuntimeError subclasses vary
             msg = str(e)

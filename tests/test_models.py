@@ -332,3 +332,34 @@ def test_patch_pca_pooled_and_rectified(tmp_path):
         jnp.asarray(hms_t), jnp.asarray(masks_t)))
     diag = np.sum(base * tilted, axis=1)
     assert np.median(diag) > 0.6, f"tilt invariance broken: {diag}"
+
+
+def test_params_io_meta_roundtrip(tmp_path):
+    variables = {"params": {"w": jnp.ones((2, 2))}}
+    p = str(tmp_path / "w.npz")
+    save_variables(p, variables, meta={"input_norm": "per_channel"})
+    loaded, meta = load_variables(p, return_meta=True)
+    assert meta == {"input_norm": "per_channel"}
+    np.testing.assert_array_equal(np.asarray(loaded["params"]["w"]), 1.0)
+    # meta-less load keeps the old signature
+    loaded2 = load_variables(p)
+    assert "params" in loaded2 and "__meta__" not in loaded2
+
+
+def test_tdn_input_norm_pinned_to_artifact(tmp_path):
+    """The weight artifact's recorded training norm overrides the sensor
+    path's configured norm (real path defaults to minmax while the shipped
+    sim weights are per_channel-trained — OOD by construction otherwise)."""
+    from midastouch_tpu.models.tdn import TDN
+    from midastouch_tpu.utils.config import compose
+
+    cfg = compose()
+    model = FCRN(out_size=(int(cfg.tdn.render.height),
+                           int(cfg.tdn.render.width)))
+    x = jnp.zeros((1, int(cfg.tdn.render.height),
+                   int(cfg.tdn.render.width), 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    p = str(tmp_path / "tdn.npz")
+    save_variables(p, variables, meta={"input_norm": "per_channel"})
+    tdn = TDN(cfg.tdn, real=True, params_path=p)  # real cfg says minmax
+    assert tdn.input_norm == "per_channel"
