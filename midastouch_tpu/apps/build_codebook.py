@@ -113,7 +113,10 @@ def reembed_codebook(cfg, obj_model: str | None = None, save: bool = True):
         embeddings[i : i + batch] = np.asarray(
             tcn.clouds_to_codes(jnp.asarray(inputs[i : i + batch]))
         )
-    cb = Codebook.from_poses(z["gelposes"], z["camposes"], embeddings)
+    cb = Codebook.from_poses(
+        z["gelposes"], z["camposes"], embeddings,
+        canon_angle=z["canon_angles"] if "canon_angles" in z else None,
+    )
     if save:
         cb.save(common.codebook_path(obj_model))
     return cb
@@ -144,10 +147,11 @@ def _fused_sensing_inputs(renderer, tdn, tcn, use_gt_heightmaps: bool):
                     h, tdn.bg, tdn.b, tdn.r, tdn.clip, False
                 )
             )(hm)
-        inputs = tcn._heightmaps_to_images_impl(
-            jnp.asarray(hm, jnp.float32), jnp.asarray(mask) > 0
-        )
-        return inputs, cam
+        hm32 = jnp.asarray(hm, jnp.float32)
+        m = jnp.asarray(mask) > 0
+        inputs = tcn._heightmaps_to_images_impl(hm32, m)
+        angles = tcn._canonical_angles_impl(hm32, m)
+        return inputs, angles, cam
 
     return jax.jit(fused)
 
@@ -214,14 +218,16 @@ def build_codebook(
             arrs = [np.concatenate([a, np.repeat(a[-1:], pad, 0)]) for a in arrs]
         from midastouch_tpu.utils.runtime import retry_transient
 
+        angles_all = np.zeros(num_samples, np.float32)
         for i in range(0, num_samples + pad, chunk):
-            inp, cam = retry_transient(
+            inp, ang, cam = retry_transient(
                 fused, tdn.variables,
                 *(jnp.asarray(a[i : i + chunk]) for a in arrs),
             )
             pca_inputs.append(np.asarray(inp, np.float16))
             sl = slice(i, min(i + chunk, num_samples))
             camposes[sl] = np.asarray(cam)[: sl.stop - sl.start]
+            angles_all[sl] = np.asarray(ang)[: sl.stop - sl.start]
             done = sl.stop
             rate = done / (time.perf_counter() - t0)
             print(f"\r{done}/{num_samples} ({rate:.1f} poses/s)",
@@ -238,6 +244,7 @@ def build_codebook(
                     jnp.asarray(inputs_all[i : i + batch].astype(np.float32))
                 ))
     if not use_fused:
+        angles_all = np.zeros(num_samples, np.float32)
         for i in range(0, num_samples, batch):
             sl = slice(i, min(i + batch, num_samples))
             hms, masks, rgbs, cams, gels = renderer.render_sensor_poses(poses[sl])
@@ -249,6 +256,9 @@ def build_codebook(
                 hms, masks = np.asarray(est_h), np.asarray(est_m)
             key = jax.random.fold_in(jax.random.PRNGKey(seed), i)
             if tcn.canonicalize:
+                angles_all[sl] = np.asarray(tcn.canonical_angles(
+                    jnp.asarray(hms, jnp.float32), jnp.asarray(masks > 0)
+                ))
                 # keep the canonical model inputs: PatchPCA fits on them after
                 # the loop, and they are cached to disk so TCN-weight retrains
                 # can re-embed in seconds (reembed_codebook) instead of
@@ -285,6 +295,7 @@ def build_codebook(
             os.makedirs(os.path.dirname(cache), exist_ok=True)
             np.savez_compressed(
                 cache, inputs=inputs, gelposes=gelposes, camposes=camposes,
+                canon_angles=angles_all,
                 canonical_params=np.asarray(_canonical_params(m), np.float64),
                 stack_fingerprint=np.asarray(
                     _stack_fingerprint(cfg, use_gt_heightmaps)
@@ -293,7 +304,10 @@ def build_codebook(
             )
             print(f"cached canonical inputs -> {cache}")
 
-    cb = Codebook.from_poses(gelposes, camposes, embeddings)
+    cb = Codebook.from_poses(
+        gelposes, camposes, embeddings,
+        canon_angle=angles_all if tcn.canonicalize else None,
+    )
     if save:
         path = common.codebook_path(obj_model)
         os.makedirs(os.path.dirname(path), exist_ok=True)

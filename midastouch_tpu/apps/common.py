@@ -61,7 +61,9 @@ def ann_kwargs(cfg, codebook) -> dict:
     plus the drift-gate source (tpu.drift_from_codebook)."""
     kind = cfg.tpu.get("codebook_ann")
     kw = {
-        "drift_from_codebook": bool(cfg.tpu.get("drift_from_codebook", True))
+        "drift_from_codebook": bool(cfg.tpu.get("drift_from_codebook", True)),
+        "yaw_kappa": float(cfg.tpu.get("yaw_kappa", 0.0)),
+        "yaw_sign": float(cfg.tpu.get("yaw_sign", 1.0)),
     }
     if not kind or kind == "false":
         kw["ann_index"] = None

@@ -131,22 +131,35 @@ def run_filter(
 
         def sense_all():
             if use_gt:
-                return tcn.cloud_to_tactile_code(
+                codes = tcn.cloud_to_tactile_code(
                     jnp.asarray(gt_heightmaps[:traj_size]),
                     jnp.asarray(gt_masks[:traj_size]),
                     key=k_sense,
                 )
+                angles = (
+                    tcn.canonical_angles(
+                        jnp.asarray(gt_heightmaps[:traj_size], jnp.float32),
+                        jnp.asarray(gt_masks[:traj_size]) > 0,
+                    )
+                    if step.yaw_on else None
+                )
+                return codes, angles
             # batched pre-sense: FCRN/mask/TCN at codebook-build batch size
             # instead of batch-1 inside the scan (same math, sim blend_sz=0)
-            return step.sense_batch(images[:traj_size], k_sense)
+            if step.yaw_on:
+                return step.sense_batch(
+                    images[:traj_size], k_sense, return_angles=True
+                )
+            return step.sense_batch(images[:traj_size], k_sense), None
 
-        codes_all = sense_all()
+        codes_all, angles_all = sense_all()
         jax.block_until_ready(codes_all)
         sense_wall = time.perf_counter() - wall_start
         t_rep = time.perf_counter()
         final, seq = step.replay(
             state, k_replay, odom_q_all[1:], odom_t_all[1:],
             gt_p[1:traj_size], codes=codes_all[1:],
+            angles=None if angles_all is None else angles_all[1:],
         )
         jax.block_until_ready(final.t)
         replay_wall = time.perf_counter() - t_rep
@@ -161,6 +174,7 @@ def run_filter(
         f2, _ = step.replay(
             state, k_replay, odom_q_all[1:], odom_t_all[1:],
             gt_p[1:traj_size], codes=codes_all[1:],
+            angles=None if angles_all is None else angles_all[1:],
         )
         jax.block_until_ready(f2.t)
         replay_warm = time.perf_counter() - t_w
@@ -214,8 +228,14 @@ def run_filter(
                 heightmap = jnp.asarray(gt_heightmaps[idx])
                 mask = jnp.asarray(gt_masks[idx])
                 code = tcn.cloud_to_tactile_code(heightmap, mask, key=k_sense)
+                angle = (
+                    tcn.canonical_angles(
+                        heightmap[None].astype(jnp.float32), mask[None] > 0
+                    )[0]
+                    if step.yaw_on else None
+                )
             else:
-                code, heightmap, mask = step.sense(images[idx], k_sense)
+                code, angle, heightmap, mask = step.sense(images[idx], k_sense)
             if profile_stages:
                 timer.stop(code)
 
@@ -244,6 +264,7 @@ def run_filter(
             state, sstats = step.update(
                 state, k_step, code, odom_q, odom_t, gt_p[idx],
                 do_cluster=(count % 50 == 0), do_measurement=True,
+                live_angle=angle,
             )
             if profile_stages:
                 timer.stop(state.t)

@@ -141,7 +141,7 @@ def run_filter_real(cfg, viz=None, seed: int = 0, realtime: bool = True) -> dict
         key, k_sense, k_step = jax.random.split(key, 3)
 
         timer.start("tactile")
-        code, heightmap, mask = step.sense(images[idx], k_sense)
+        code, angle, heightmap, mask = step.sense(images[idx], k_sense)
         timer.stop(code)
 
         timer.start("motion")
@@ -163,6 +163,7 @@ def run_filter_real(cfg, viz=None, seed: int = 0, realtime: bool = True) -> dict
         state, sstats = step.update(
             state, k_step, code, odom_q, odom_t, gt_p_j[idx],
             do_cluster=(count % 50 == 0), do_measurement=do_meas,
+            live_angle=angle if step.yaw_on else None,
         )
         timer.stop(state.t)
 

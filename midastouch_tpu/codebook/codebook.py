@@ -31,12 +31,18 @@ class Codebook:
     cam_t: jax.Array  # (M, 3) camera-pose translations
     embeddings: jax.Array  # (M, E) float32, L2-normalized
     keys: jax.Array  # (M, 6) SE(3) query keys
+    # (M,) canonical yaw angle of each entry's patch (rad), or None for
+    # codebooks built before yaw scoring existed — the in-image angle the
+    # canonical descriptor rotated away (ops/image.canonical_angle); the
+    # filter uses it to re-score the yaw DOF (FilterStep yaw scoring)
+    canon_angle: jax.Array | None = None
 
     # -- pytree plumbing -----------------------------------------------------
 
     def tree_flatten(self):
         return (
-            (self.q, self.t, self.cam_q, self.cam_t, self.embeddings, self.keys),
+            (self.q, self.t, self.cam_q, self.cam_t, self.embeddings,
+             self.keys, self.canon_angle),
             None,
         )
 
@@ -56,6 +62,7 @@ class Codebook:
         cam_poses: np.ndarray,
         embeddings: np.ndarray,
         key_weight: float = 0.01,
+        canon_angle: np.ndarray | None = None,
     ) -> "Codebook":
         """Build from (M,4,4) pose matrices + (M,E) embeddings
         (reference tactile_tree.__init__, tactile_tree.py:14-41)."""
@@ -72,13 +79,16 @@ class Codebook:
             cam_t=cam[:, :3, 3],
             embeddings=emb,
             keys=se3.se3_key(q, t, w=key_weight),
+            canon_angle=(
+                None if canon_angle is None
+                else jnp.asarray(canon_angle, dtype=jnp.float32)
+            ),
         )
 
     # -- persistence ----------------------------------------------------------
 
     def save(self, path: str) -> None:
-        np.savez_compressed(
-            path,
+        arrays = dict(
             q=np.asarray(self.q),
             t=np.asarray(self.t),
             cam_q=np.asarray(self.cam_q),
@@ -86,6 +96,9 @@ class Codebook:
             embeddings=np.asarray(self.embeddings),
             keys=np.asarray(self.keys),
         )
+        if self.canon_angle is not None:
+            arrays["canon_angle"] = np.asarray(self.canon_angle)
+        np.savez_compressed(path, **arrays)
 
     @classmethod
     def load(cls, path: str) -> "Codebook":
@@ -145,7 +158,39 @@ class Codebook:
         """Nearest codebook entry per query pose (reference SE3_NN,
         tactile_tree.py:43-58, nn=1). Exact by default; pass an
         `ann_index` (SortedIndex or BucketIndex) for approximate search."""
-        keys = se3.se3_key(q, t)
+        return self.nn_from_keys(
+            se3.se3_key(q, t), ann_index=ann_index, backend=backend,
+            top_cells=top_cells, ann_window=ann_window, ann_probes=ann_probes,
+        )
+
+    def se3_nn_idx_cm(
+        self,
+        q: jax.Array,
+        t: jax.Array,
+        backend: str = "auto",
+        ann_index=None,
+        top_cells: int = 8,
+        ann_window: int = 4096,
+        ann_probes: int = 3,
+    ) -> jax.Array:
+        """se3_nn_idx over CHANNEL-MAJOR queries: q (4, N), t (3, N). The
+        key arithmetic runs fully lane-parallel on (C, N) rows; only the
+        final (6, N) -> (N, 6) relayout feeds the matmul search."""
+        keys = se3.se3_key_cm(q, t).T
+        return self.nn_from_keys(
+            keys, ann_index=ann_index, backend=backend,
+            top_cells=top_cells, ann_window=ann_window, ann_probes=ann_probes,
+        )
+
+    def nn_from_keys(
+        self,
+        keys: jax.Array,
+        backend: str = "auto",
+        ann_index=None,
+        top_cells: int = 8,
+        ann_window: int = 4096,
+        ann_probes: int = 3,
+    ) -> jax.Array:
         if ann_index is not None:
             from midastouch_tpu.ops.ann import (
                 SortedIndex,

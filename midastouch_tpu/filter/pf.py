@@ -101,17 +101,17 @@ class ParticleFilter:
     ) -> ParticleState:
         p = self.params
         k1, k2 = jax.random.split(key)
-        tn = jax.random.normal(k1, (num_particles, 3)) * p.init_trans_noise
-        rn = jax.random.normal(k2, (num_particles, 3)) * jnp.radians(
+        tn = jax.random.normal(k1, (3, num_particles)) * p.init_trans_noise
+        rn = jax.random.normal(k2, (3, num_particles)) * jnp.radians(
             p.init_rot_noise_deg
         )
-        qn = se3.euler_to_quat(rn, "ZYX")
+        qn = se3.euler_to_quat_cm(rn, "ZYX")
 
         gt_q = se3.matrix_to_quat(gt_pose[:3, :3])
         gt_t = gt_pose[:3, 3]
-        q = se3.quat_mul(gt_q[None, :], qn)
-        t = gt_t[None, :] + se3.quat_rotate(gt_q[None, :], tn)
-        return ParticleState.create(q, t)
+        q = se3.quat_mul_cm(gt_q[:, None], qn)
+        t = gt_t[:, None] + se3.quat_rotate_cm(gt_q[:, None], tn)
+        return ParticleState.create_cm(q, t)
 
     # -- motion model (reference :319-377) ------------------------------------
 
@@ -129,15 +129,15 @@ class ParticleFilter:
         n = state.capacity
         mul = jnp.maximum(jnp.asarray(multiplier, jnp.float32), 1.0)
         k1, k2 = jax.random.split(key)
-        tn = jax.random.normal(k1, (n, 3)) * (p.sig_t * mul)
-        rn = jax.random.normal(k2, (n, 3)) * jnp.radians(p.sig_r_deg) * mul
-        qn = se3.euler_to_quat(rn, "ZYX")  # elementwise; no 3x3 chain
+        tn = jax.random.normal(k1, (3, n)) * (p.sig_t * mul)
+        rn = jax.random.normal(k2, (3, n)) * jnp.radians(p.sig_r_deg) * mul
+        qn = se3.euler_to_quat_cm(rn, "ZYX")  # elementwise; no 3x3 chain
 
         # noisy odom per particle
-        no_q = se3.quat_mul(odom_q[None, :], qn)
-        no_t = odom_t[None, :] + se3.quat_rotate(odom_q[None, :], tn)
-        q = se3.quat_normalize(se3.quat_mul(state.q, no_q))
-        t = state.t + se3.quat_rotate(state.q, no_t)
+        no_q = se3.quat_mul_cm(odom_q[:, None], qn)
+        no_t = odom_t[:, None] + se3.quat_rotate_cm(odom_q[:, None], tn)
+        q = se3.quat_normalize_cm(se3.quat_mul_cm(state.q, no_q))
+        t = state.t + se3.quat_rotate_cm(state.q, no_t)
         return state._replace(q=q, t=t)
 
     # -- measurement (reference :449-469) --------------------------------------
@@ -182,7 +182,7 @@ class ParticleFilter:
     ) -> tuple[ParticleState, jax.Array]:
         thresh = self.params.pen_max if invalid_dist is None else invalid_dist
         dist = knn.min_distance(
-            state.t, self.mesh_vertices, backend=self.params.backend
+            state.t_rows, self.mesh_vertices, backend=self.params.backend
         )
         valid = dist <= thresh
         weights = state.weights * valid.astype(state.weights.dtype)
@@ -201,11 +201,11 @@ class ParticleFilter:
             * jnp.maximum(state.n_active, 1)
             // s
         )
-        sub = state.t[idx]
+        sub = state.t[:, idx].T  # (S, 3) rows for the pairwise kernel
         min_samples = max(int(s * p.min_samples_frac), 1)
         sub_labels = cluster_ops.dbscan(sub, p.cluster_eps, min_samples)
         labels = cluster_ops.assign_labels(
-            state.t, sub, sub_labels, backend=p.backend
+            state.t_rows, sub, sub_labels, backend=p.backend
         )
         labels = cluster_ops.compact_labels(labels, p.max_clusters)
         return state._replace(labels=labels)
@@ -217,33 +217,35 @@ class ParticleFilter:
         :153-206, method='quat_avg'). Returns (poses (K,4,4), stds (K,3),
         valid (K,)).
 
-        All per-cluster reductions are fused into (N,K)-one-hot matmuls
+        All per-cluster reductions are fused into (K,N)-one-hot matmuls
         that ride the MXU, instead of K masked passes over the population.
+        Membership is built channel-major — (K, N) with N on lanes — so the
+        masking elementwise work runs at full lane utilization.
         """
         K = self.params.max_clusters
         member = (
-            (state.labels[:, None] == jnp.arange(K, dtype=jnp.int32)[None, :])
-            & state.alive[:, None]
+            (state.labels[None, :] == jnp.arange(K, dtype=jnp.int32)[:, None])
+            & state.alive[None, :]
         )
-        m = member.astype(jnp.float32)  # (N, K)
-        counts = jnp.sum(m, axis=0)
+        m = member.astype(jnp.float32)  # (K, N)
+        counts = jnp.sum(m, axis=1)
 
         w0 = jnp.maximum(state.weights, 0.0)
         # equal-weight fallback when a cluster's weights are degenerate
-        wmax = jnp.max(jnp.where(member, w0[:, None], -jnp.inf), axis=0)
-        wmin = jnp.min(jnp.where(member, w0[:, None], jnp.inf), axis=0)
+        wmax = jnp.max(jnp.where(member, w0[None, :], -jnp.inf), axis=1)
+        wmin = jnp.min(jnp.where(member, w0[None, :], jnp.inf), axis=1)
         degenerate = ~jnp.isfinite(wmax) | (jnp.abs(wmax - wmin) < 1e-12)
-        W = jnp.where(degenerate[None, :], m, w0[:, None] * m)  # (N, K)
+        W = jnp.where(degenerate[:, None], m, w0[None, :] * m)  # (K, N)
 
-        wsum = jnp.maximum(jnp.sum(W, axis=0), 1e-12)  # (K,)
-        ta = (W.T @ state.t) / wsum[:, None]  # (K, 3)
-        t2 = (W.T @ (state.t * state.t)) / wsum[:, None]
+        wsum = jnp.maximum(jnp.sum(W, axis=1), 1e-12)  # (K,)
+        ta = jnp.einsum("kn,cn->kc", W, state.t) / wsum[:, None]  # (K, 3)
+        t2 = jnp.einsum("kn,cn->kc", W, state.t * state.t) / wsum[:, None]
         var = jnp.maximum(t2 - ta * ta, 0.0)
 
         # Markley mean per cluster: eigh of the weighted outer-product sum
-        q = jnp.where(state.q[:, :1] < 0, -state.q, state.q)
-        qq = (q[:, :, None] * q[:, None, :]).reshape(-1, 16)  # (N, 16)
-        A = (W.T @ qq).reshape(K, 4, 4) / wsum[:, None, None]
+        q = jnp.where(state.q[0:1] < 0, -state.q, state.q)  # (4, N)
+        qq = (q[:, None, :] * q[None, :, :]).reshape(16, -1)  # (16, N)
+        A = jnp.einsum("kn,pn->kp", W, qq).reshape(K, 4, 4) / wsum[:, None, None]
         _, vecs = jnp.linalg.eigh(A)
         qa = vecs[:, :, -1]
         qa = jnp.where(qa[:, :1] < 0, -qa, qa)
@@ -324,13 +326,16 @@ class ParticleFilter:
         mask = state.alive_f  # prefix mask for the (unchanged) n_active
         # one packed (N, 8) row gather instead of three: random-access HBM
         # reads are the cost here, and TPU row gathers pay per row, not
-        # per byte (measured ~30% of the resample stage at 50k)
+        # per byte (measured ~30% of the resample stage at 50k). The
+        # channel-major state transposes into row space around the gather;
+        # the (8, N) relayouts are dense streaming passes (~1.6 MB), far
+        # cheaper than a lane-axis gather of N columns.
         packed = jnp.concatenate(
-            [state.q, state.t, state.weights[:, None]], axis=1
-        )[idx]
+            [state.q, state.t, state.weights[None, :]], axis=0
+        ).T[idx]  # (N, 8)
         return state._replace(
-            q=packed[:, :4],
-            t=packed[:, 4:7],
+            q=packed[:, :4].T,
+            t=packed[:, 4:7].T,
             weights=packed[:, 7] * mask,
             labels=state.labels[idx],
         )
@@ -339,7 +344,7 @@ class ParticleFilter:
 
     def rmse(self, state: ParticleState, gt_pose: jax.Array):
         """(reference particle_rmse, :472-496) over the live population."""
-        return se3.particle_rmse_quat(
+        return se3.particle_rmse_quat_cm(
             state.q,
             state.t,
             se3.matrix_to_quat(gt_pose[:3, :3]),

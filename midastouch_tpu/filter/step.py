@@ -54,6 +54,8 @@ class FilterStep:
         ann_window: int = 4096,
         ann_probes: int = 3,
         drift_from_codebook: bool = True,
+        yaw_kappa: float = 0.0,
+        yaw_sign: float = 1.0,
     ):
         self.pf = pf
         self.codebook = codebook
@@ -61,6 +63,20 @@ class FilterStep:
         self.tcn = tcn
         self.floor = floor
         self.small_parts = small_parts
+        # canonical-yaw measurement scoring: the yaw-canonical descriptor
+        # quotients out the gel's in-plane rotation, so similarity alone
+        # cannot observe it (round-4 rotation RMSE 74 deg). The codebook
+        # stores each entry's canonicalization angle; the live patch's
+        # angle plus each particle's NN-relative yaw predicts it, and the
+        # von-Mises log-bonus kappa*cos(err) re-weights particles on the
+        # one DOF the embedding discarded. 0 = off (reference parity).
+        self.yaw_kappa = float(yaw_kappa)
+        self.yaw_sign = float(yaw_sign)
+        self.yaw_on = (
+            self.yaw_kappa > 0.0
+            and getattr(codebook, "canon_angle", None) is not None
+            and (tcn is None or getattr(tcn, "canonicalize", False))
+        )
         # optional ANN index for the codebook NN (ops/ann.py) + its search
         # knobs (tpu.ann_top_cells / ann_window / ann_probes in the config)
         self.ann_index = ann_index
@@ -129,15 +145,22 @@ class FilterStep:
         )
         inputs = self.tcn.model_inputs(key, hm[None], mask[None])
         code = self.tcn._embed_impl(tcn_vars, inputs)[0]
-        return code, hm, mask
+        if self.yaw_on:
+            angle = self.tcn._canonical_angles_impl(hm[None], mask[None])[0]
+        else:
+            angle = jnp.float32(0.0)
+        return code, angle, hm, mask
 
     def sense(self, image, key):
-        """Tactile image -> (code, heightmap, mask). Requires tdn+tcn."""
+        """Tactile image -> (code, canon_angle, heightmap, mask)."""
         return self._sense(
             self.tdn.variables, self.tcn.variables, image, key
         )
 
-    def sense_batch(self, images, key, batch: int | None = None):
+    def sense_batch(
+        self, images, key, batch: int | None = None,
+        return_angles: bool = False,
+    ):
         """All-frames batched sensing for offline replay: TDN forward, mask
         thresholding and TCN embedding each run at codebook-build batch
         size instead of batch-1 inside the scan. Same math as `sense`
@@ -145,6 +168,7 @@ class FilterStep:
         preserve); ~an order of magnitude fewer FLOP-starved dispatches."""
         b = batch or self.tcn.batch_size
         codes = []
+        angles = []
         for i in range(0, len(images), b):
             chunk = jnp.asarray(images[i : i + b], jnp.float32)
             hms = self.tdn.images2heightmaps(chunk)
@@ -153,6 +177,10 @@ class FilterStep:
                 jax.random.fold_in(key, i), hms, masks
             )
             codes.append(self.tcn.clouds_to_codes(inputs))
+            if return_angles:
+                angles.append(self.tcn.canonical_angles(hms, masks))
+        if return_angles:
+            return jnp.concatenate(codes, axis=0), jnp.concatenate(angles)
         return jnp.concatenate(codes, axis=0)
 
     def sense_update(
@@ -180,13 +208,15 @@ class FilterStep:
         from midastouch_tpu.ops import se3
 
         k_sense, k_update = jax.random.split(key)
-        code, hm, mask = self._sense_impl(tdn_vars, tcn_vars, image, k_sense)
+        code, angle, hm, mask = self._sense_impl(
+            tdn_vars, tcn_vars, image, k_sense
+        )
         rel = se3.tf_inverse(meas[prev_idx]) @ meas[idx]
         odom_q = se3.matrix_to_quat(rel[:3, :3])
         odom_t = rel[:3, 3]
         state, stats = self._update_impl(
             codebook, state, k_update, code, odom_q, odom_t, gt_pose,
-            do_cluster, do_measurement, drift_thresh,
+            do_cluster, do_measurement, drift_thresh, angle,
         )
         return state, stats, code, hm, mask
 
@@ -197,9 +227,9 @@ class FilterStep:
     ) -> ParticleState:
         state = self.pf.init_filter(key, gt_pose, num_particles)
         q, t, _, _, _, _ = self.codebook.se3_nn(
-            state.q, state.t, backend=self.pf.params.backend
+            state.q_rows, state.t_rows, backend=self.pf.params.backend
         )
-        return state._replace(q=q, t=t)
+        return state._replace(q=q.T, t=t.T)
 
     # -- fused measurement+motion update (filter.py:150-199) ----------------------
 
@@ -215,6 +245,7 @@ class FilterStep:
         do_cluster: jax.Array,
         do_measurement: jax.Array,
         drift_thresh: jax.Array | None = None,
+        live_angle: jax.Array | None = None,
     ):
         pf = self.pf
         k_motion, k_resample = jax.random.split(key)
@@ -229,7 +260,7 @@ class FilterStep:
         # similarity is one matvec over the whole codebook; each particle
         # then gathers ONE scalar instead of its NN's 256-d embedding row
         # (reference dataflow, particle_filter.py:449-469).
-        idx = codebook.se3_nn_idx(
+        idx = codebook.se3_nn_idx_cm(
             state.q, state.t, backend=pf.params.backend,
             ann_index=self.ann_index,
             top_cells=self.ann_top_cells,
@@ -237,8 +268,37 @@ class FilterStep:
             ann_probes=self.ann_probes,
         )
         sims = codebook.similarity(code)
+        # ONE packed row gather serves the weighting (col 0), the drift
+        # gate (cols 1:4) and, when yaw scoring is on, the entry's
+        # canonical angle + quaternion (cols 4:9): TPU row gathers pay per
+        # row, not per byte, so packing halves/quarters the gather traffic
+        # vs separate gathers.
+        cols = [sims[:, None], codebook.t]
+        if self.yaw_on:
+            cols += [codebook.canon_angle[:, None], codebook.q]
+        packed = jnp.concatenate(cols, axis=1)
+        g = packed[idx]  # (N, 4) or (N, 9)
+        sim_p = g[:, 0]
+        if self.yaw_on and live_angle is not None:
+            from midastouch_tpu.ops import se3
+
+            # relative yaw of each particle vs its codebook NN: for poses
+            # on the contact manifold the gel z-axes align, so the
+            # relative rotation r = q_nn^-1 * q_p is ~a pure yaw and
+            # yaw = 2*atan2(r_z, r_w). The entry's patch, rotated by that
+            # yaw, should present the live canonical angle:
+            #   err = wrap(live - entry_angle - yaw_sign * yaw)
+            q_e = g[:, 5:9].T  # (4, N)
+            q_e_conj = jnp.concatenate([q_e[:1], -q_e[1:]], axis=0)
+            r = se3.quat_mul_cm(q_e_conj, state.q)
+            yaw = 2.0 * jnp.arctan2(r[3], r[0])
+            err = live_angle - g[:, 4] - self.yaw_sign * yaw
+            # von-Mises log-bonus, tempered like the similarity so the
+            # softmax sees kappa directly as a concentration
+            bonus = self.yaw_kappa * (jnp.cos(err) - 1.0)
+            sim_p = sim_p + self.pf.params.softmax_temp * bonus
         w = pf.weights_from_similarity(
-            sims[idx], state.alive, softmax=self.softmax
+            sim_p, state.alive, softmax=self.softmax
         )
         w = jnp.where(do_measurement, w, state.alive_f)
         state = state._replace(weights=w)
@@ -246,8 +306,8 @@ class FilterStep:
         # drift pruning + all-drifted re-projection (:176-179). The NN pose
         # gathers only happen on the (rare) all-drifted branch.
         if self.drift_from_codebook:
-            nn_t = codebook.t[idx]
-            dist = jnp.linalg.norm(state.t - nn_t, axis=-1)
+            d = state.t - g[:, 1:4].T  # (3, N), one relayout of the gather
+            dist = jnp.sqrt(jnp.sum(d * d, axis=0))
             # thresh arrives as a TRACED scalar so recalibrating it (every
             # FilterStep init measures it from the codebook) never changes
             # the compiled program — as a baked constant it invalidated the
@@ -265,7 +325,7 @@ class FilterStep:
             state, drifted = pf.remove_invalid_particles(state)
         q, t = jax.lax.cond(
             drifted,
-            lambda: (codebook.q[idx], codebook.t[idx]),
+            lambda: (codebook.q[idx].T, codebook.t[idx].T),
             lambda: (state.q, state.t),
         )
         state = state._replace(q=q, t=t)
@@ -304,11 +364,18 @@ class FilterStep:
         gt_pose: jax.Array,
         do_cluster: bool = False,
         do_measurement: bool = True,
+        live_angle=None,
     ):
+        # None disables yaw scoring for this call (a separate trace: None
+        # is an empty pytree, so jit specializes on its presence)
+        angle = (
+            None if live_angle is None
+            else jnp.asarray(live_angle, jnp.float32)
+        )
         return self._update(
             self.codebook, state, key, code, odom_q, odom_t, gt_pose,
             jnp.asarray(do_cluster), jnp.asarray(do_measurement),
-            self._drift_thresh_arr,
+            self._drift_thresh_arr, angle,
         )
 
     # -- whole-log replay as one device program ---------------------------------
@@ -322,6 +389,7 @@ class FilterStep:
         gt_all: jax.Array,  # (T, 4, 4)
         images: jax.Array | None = None,  # (T, H, W, 3) uint8 -> sense inside
         codes: jax.Array | None = None,  # (T, E) precomputed tactile codes
+        angles: jax.Array | None = None,  # (T,) canonical angles (with codes)
         cluster_every: int = 50,
         measure_every: int = 1,
     ):
@@ -343,6 +411,7 @@ class FilterStep:
             self.tdn.variables if images is not None else None,
             self.tcn.variables if images is not None else None,
             state, key, odom_q_all, odom_t_all, gt_all, sense_inputs,
+            None if images is not None else angles,
             self._drift_thresh_arr,
             do_sense=images is not None,
             cluster_every=cluster_every, measure_every=measure_every,
@@ -350,15 +419,15 @@ class FilterStep:
 
     def _replay_impl(
         self, codebook, tdn_vars, tcn_vars, state, key,
-        odom_q_all, odom_t_all, gt_all, sense_inputs, drift_thresh, do_sense,
-        cluster_every, measure_every,
+        odom_q_all, odom_t_all, gt_all, sense_inputs, angles_all,
+        drift_thresh, do_sense, cluster_every, measure_every,
     ):
         def body(carry, xs):
             state, key, i = carry
-            inp, oq, ot, gt = xs
+            inp, oq, ot, gt, ang = xs
             key, ks, ku = jax.random.split(key, 3)
             if do_sense:
-                code, _, _ = self._sense_impl(tdn_vars, tcn_vars, inp, ks)
+                code, ang, _, _ = self._sense_impl(tdn_vars, tcn_vars, inp, ks)
             else:
                 code = inp
             state, stats = self._update_impl(
@@ -366,15 +435,33 @@ class FilterStep:
                 i % cluster_every == 0,
                 i % measure_every == 0,
                 drift_thresh,
+                ang,
             )
             return (state, key, i + 1), (
                 stats.rmse_t, stats.rmse_r, stats.n_active
             )
 
+        T = odom_q_all.shape[0]
+        if angles_all is None and not do_sense:
+            # no angles supplied with precomputed codes: yaw scoring off
+            # for this replay (None propagates into _update_impl)
+            def body_no_angle(carry, xs):
+                return body(carry, xs[:-1] + (None,))
+
+            (state, _, _), seq = jax.lax.scan(
+                body_no_angle,
+                (state, key, jnp.int32(0)),
+                (sense_inputs, odom_q_all, odom_t_all, gt_all,
+                 jnp.zeros((T,), jnp.float32)),
+            )
+            return state, seq
+        ang_in = (
+            jnp.zeros((T,), jnp.float32) if angles_all is None else angles_all
+        )
         (state, _, _), seq = jax.lax.scan(
             body,
             (state, key, jnp.int32(0)),
-            (sense_inputs, odom_q_all, odom_t_all, gt_all),
+            (sense_inputs, odom_q_all, odom_t_all, gt_all, ang_in),
         )
         return state, seq
 

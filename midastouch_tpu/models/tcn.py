@@ -186,22 +186,44 @@ class TCN:
             self._h2i = jax.jit(self._heightmaps_to_images_impl)
         return self._h2i(jnp.asarray(heightmaps), jnp.asarray(masks))
 
+    def _canonical_prep(self, heightmaps, masks):
+        """Shared pre-canonicalization pipeline (rectify + depth band) —
+        the SAME preprocessing must feed both the canonical patches and
+        the canonical yaw angles (ops/image.canonical_angle), or the
+        stored angle would describe a different image than the patch."""
+        from midastouch_tpu.ops import image as image_ops
+
+        hm32 = heightmaps.astype(jnp.float32)
+        if self.canonical_rectify:
+            hm32, masks = jax.vmap(image_ops.rectify_tilt)(hm32, masks)
+        if self.canonical_band_mm > 0:
+            band_px = self.canonical_band_mm / self.pixmm
+            hm32, masks = jax.vmap(
+                lambda h, m: image_ops.depth_band(h, m, band_px=band_px)
+            )(hm32, masks)
+            scale = 1.0 / band_px  # band patch -> [0, 1]
+        else:
+            scale = (self.pixmm / 1000.0) / self.pen_max
+        return hm32, masks, scale
+
+    def _canonical_angles_impl(self, heightmaps, masks):
+        """(B, H, W) heightmaps/masks -> (B,) canonical yaw angles (rad)."""
+        from midastouch_tpu.ops import image as image_ops
+
+        hm32, m, _ = self._canonical_prep(heightmaps, masks)
+        return jax.vmap(image_ops.canonical_angle)(hm32, m)
+
+    def canonical_angles(self, heightmaps, masks):
+        if not hasattr(self, "_angles_fn"):
+            self._angles_fn = jax.jit(self._canonical_angles_impl)
+        return self._angles_fn(jnp.asarray(heightmaps), jnp.asarray(masks))
+
     def _heightmaps_to_images_impl(self, heightmaps, masks):
         if self.canonicalize:
             from midastouch_tpu.ops import image as image_ops
 
             cs, crop = self.canonical_size, self.canonical_crop_px
-            hm32 = heightmaps.astype(jnp.float32)
-            if self.canonical_rectify:
-                hm32, masks = jax.vmap(image_ops.rectify_tilt)(hm32, masks)
-            if self.canonical_band_mm > 0:
-                band_px = self.canonical_band_mm / self.pixmm
-                hm32, masks = jax.vmap(
-                    lambda h, m: image_ops.depth_band(h, m, band_px=band_px)
-                )(hm32, masks)
-                scale = 1.0 / band_px  # band patch -> [0, 1]
-            else:
-                scale = (self.pixmm / 1000.0) / self.pen_max
+            hm32, masks, scale = self._canonical_prep(heightmaps, masks)
             patch = jax.vmap(
                 lambda h, m: image_ops.canonicalize_patch(
                     h, m, out_h=cs, out_w=cs, crop_px=crop

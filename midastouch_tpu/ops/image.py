@@ -45,11 +45,54 @@ def normalize_per_channel(img: jax.Array) -> jax.Array:
     return (img - mean) / jnp.maximum(std, 1e-6)
 
 
+def box_blur(img: jax.Array, k: int) -> jax.Array:
+    """Separable k x k box blur of (H, W) or (H, W, C) with SAME edge
+    handling (border means are over the in-bounds window)."""
+    chan = img.ndim == 3
+    x = img if chan else img[..., None]
+    win = (k, k, 1)
+    pads = ((k // 2, k - 1 - k // 2), (k // 2, k - 1 - k // 2), (0, 0))
+    ssum = jax.lax.reduce_window(x, 0.0, jax.lax.add, win, (1, 1, 1), pads)
+    cnt = jax.lax.reduce_window(
+        jnp.ones_like(x), 0.0, jax.lax.add, win, (1, 1, 1), pads
+    )
+    out = ssum / cnt
+    return out if chan else out[..., 0]
+
+
+def normalize_illum(img: jax.Array, k: int = 65, div: bool = False) -> jax.Array:
+    """Illumination-removing input normalization: subtract (or divide out)
+    a large per-channel box blur, then standardize each channel.
+
+    The DIGIT nuisances the TDN must be invariant to are SMOOTH in image
+    space — per-unit background mottle (make_backgrounds: 6x8 coarse grid
+    ~45 px/cell), radial vignette, LED color-gain gradients, global light
+    scale — while the contact signal (shaded sub-mm relief) lives below
+    ~1 mm ≈ 30 px. Removing the local illumination estimate (k x k blur)
+    cancels every smooth nuisance EXACTLY, with no calibration image and
+    no session background capture: measured round 5 as the lever that
+    closes the est-path lighting instability (PROBE_TDN_boulder.json:
+    with affine-only normalization, lighting jitter alone dropped
+    same-site est retrieval to ~0.35; shadows/gradients are spatial, not
+    per-channel-affine). `div=True` is the retinex variant (illumination
+    is multiplicative in the Phong composite's light_scale)."""
+    base = box_blur(img, k)
+    x = img / jnp.maximum(base, 1e-3) - 1.0 if div else img - base
+    return normalize_per_channel(x)
+
+
 def normalize_image(img: jax.Array, mode: str = "minmax") -> jax.Array:
-    """TDN input normalization: 'minmax' (reference parity, tdn.py:108)
-    or 'per_channel' (lighting-robust; see normalize_per_channel)."""
+    """TDN input normalization: 'minmax' (reference parity, tdn.py:108),
+    'per_channel' (lighting-robust affine; see normalize_per_channel), or
+    'illum'/'illum_div' (spatial illumination removal; normalize_illum).
+    An optional kernel suffix sets the blur size, e.g. 'illum33'."""
     if mode == "per_channel":
         return normalize_per_channel(img)
+    if mode.startswith("illum"):
+        div = mode.startswith("illum_div")
+        suffix = mode[len("illum_div"):] if div else mode[len("illum"):]
+        k = int(suffix) if suffix else 65
+        return normalize_illum(img, k=k, div=div)
     if mode != "minmax":
         raise ValueError(f"unknown input_norm {mode!r}")
     return normalize_minmax(img)
@@ -241,6 +284,42 @@ def depth_band(
     return zb, zb > 1e-3
 
 
+def _canonical_frame(z: jax.Array):
+    """Depth-weighted centroid + principal-axis direction of a masked
+    penetration image (the canonicalization frame of canonicalize_patch):
+    2nd image moments give the axis, the sign of the 3rd moment along it
+    fixes the 180-degree flip. Returns (cy, cx, cos, sin)."""
+    h, w = z.shape
+    total = jnp.maximum(jnp.sum(z), 1e-6)
+    ys, xs = jnp.mgrid[0:h, 0:w].astype(z.dtype)
+    cy = jnp.sum(z * ys) / total
+    cx = jnp.sum(z * xs) / total
+    dy, dx = ys - cy, xs - cx
+    mu20 = jnp.sum(z * dx * dx) / total
+    mu02 = jnp.sum(z * dy * dy) / total
+    mu11 = jnp.sum(z * dx * dy) / total
+    theta = 0.5 * jnp.arctan2(2.0 * mu11, mu20 - mu02)
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    # skewness along the principal axis fixes the 180-degree flip
+    proj = dx * c + dy * s
+    skew = jnp.sum(z * proj**3)
+    c, s = jnp.where(skew < 0, -c, c), jnp.where(skew < 0, -s, s)
+    return cy, cx, c, s
+
+
+def canonical_angle(hm: jax.Array, mask: jax.Array) -> jax.Array:
+    """In-image-plane angle (radians, (-pi, pi]) of the canonicalization
+    frame canonicalize_patch aligns to. Two touches at the same surface
+    site related by a gel-frame yaw rotation have canonical angles that
+    differ by exactly that yaw (up to the skew disambiguation) — storing
+    this per codebook entry lets the filter score each particle's yaw
+    against the live measurement (the DOF the yaw-canonical descriptor
+    deliberately quotients out; see FilterStep yaw scoring)."""
+    z = jnp.maximum(hm, 0.0) * mask.astype(hm.dtype)
+    _, _, c, s = _canonical_frame(z)
+    return jnp.arctan2(s, c)
+
+
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w", "crop_px"))
 def canonicalize_patch(
     hm: jax.Array,  # (H, W) gel-frame heightmap, px units (>=0 at contact)
@@ -269,22 +348,8 @@ def canonicalize_patch(
     Nearly-isotropic or skew-free patches keep an ambiguous axis — callers
     that need full invariance can embed both 180-degree variants.
     """
-    h, w = hm.shape
     z = jnp.maximum(hm, 0.0) * mask.astype(hm.dtype)
-    total = jnp.maximum(jnp.sum(z), 1e-6)
-    ys, xs = jnp.mgrid[0:h, 0:w].astype(hm.dtype)
-    cy = jnp.sum(z * ys) / total
-    cx = jnp.sum(z * xs) / total
-    dy, dx = ys - cy, xs - cx
-    mu20 = jnp.sum(z * dx * dx) / total
-    mu02 = jnp.sum(z * dy * dy) / total
-    mu11 = jnp.sum(z * dx * dy) / total
-    theta = 0.5 * jnp.arctan2(2.0 * mu11, mu20 - mu02)
-    c, s = jnp.cos(theta), jnp.sin(theta)
-    # skewness along the principal axis fixes the 180-degree flip
-    proj = dx * c + dy * s
-    skew = jnp.sum(z * proj**3)
-    c, s = jnp.where(skew < 0, -c, c), jnp.where(skew < 0, -s, s)
+    cy, cx, c, s = _canonical_frame(z)
 
     u = (jnp.arange(out_w, dtype=hm.dtype) / (out_w - 1) - 0.5) * crop_px
     v = (jnp.arange(out_h, dtype=hm.dtype) / (out_h - 1) - 0.5) * crop_px

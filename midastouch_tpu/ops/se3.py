@@ -510,6 +510,115 @@ def se3_key(q: jax.Array, t: jax.Array, w: float = 0.01) -> jax.Array:
     return jnp.concatenate([(1.0 - w) * t, w * quat_log(q)], axis=-1)
 
 
+# ---------------------------------------------------------------------------
+# channel-major kernels: arrays are (C, N) with the big particle axis N on
+# the TPU's 128-lane minor dimension. The row-major (N, C) layout put the
+# tiny C=3/4 channel dim on lanes, so every elementwise stage of the filter
+# ran at ~3% lane utilization (~0.5 ms each at N=50k, PROFILE_50k.json);
+# these kernels are the same closed-form math over (N,)-wide component rows.
+# ---------------------------------------------------------------------------
+
+
+def quat_normalize_cm(q: jax.Array) -> jax.Array:
+    """(4, N) -> (4, N), unit-norm columns."""
+    n = jnp.sqrt(jnp.sum(q * q, axis=0, keepdims=True))
+    return q / jnp.maximum(n, _EPS)
+
+
+def quat_mul_cm(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Hamilton product on (4, N) (or (4, 1) broadcast), wxyz rows."""
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return jnp.stack(
+        [
+            aw * bw - ax * bx - ay * by - az * bz,
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+        ],
+        axis=0,
+    )
+
+
+def quat_rotate_cm(q: jax.Array, v: jax.Array) -> jax.Array:
+    """Rotate vectors v (3, N) by quaternions q (4, N) (wxyz rows)."""
+    w, ux, uy, uz = q
+    vx, vy, vz = v
+    uvx = uy * vz - uz * vy
+    uvy = uz * vx - ux * vz
+    uvz = ux * vy - uy * vx
+    uuvx = uy * uvz - uz * uvy
+    uuvy = uz * uvx - ux * uvz
+    uuvz = ux * uvy - uy * uvx
+    return jnp.stack(
+        [
+            vx + 2.0 * (w * uvx + uuvx),
+            vy + 2.0 * (w * uvy + uuvy),
+            vz + 2.0 * (w * uvz + uuvz),
+        ],
+        axis=0,
+    )
+
+
+def quat_log_cm(q: jax.Array) -> jax.Array:
+    """(4, N) unit quaternions -> (3, N) rotation vectors."""
+    q = jnp.where(q[0:1] < 0, -q, q)  # shortest arc
+    w = jnp.clip(q[0], -1.0, 1.0)
+    v = q[1:]
+    vn = jnp.sqrt(jnp.sum(v * v, axis=0))
+    angle = 2.0 * jnp.arctan2(vn, w)
+    scale = jnp.where(
+        vn > _EPS, angle / jnp.maximum(vn, _EPS), 2.0 / jnp.maximum(w, _EPS)
+    )
+    return v * scale[None, :]
+
+
+def euler_to_quat_cm(angles: jax.Array, convention: str = "ZYX") -> jax.Array:
+    """Euler angles (radians, (3, N)) -> quaternions (4, N) wxyz; same
+    intrinsic composition as euler_to_quat."""
+    if len(convention) != 3 or any(c not in _AXES for c in convention):
+        raise ValueError(f"invalid convention {convention}")
+    q = None
+    for i, c in enumerate(convention):
+        half = 0.5 * angles[i]
+        cos, sin = jnp.cos(half), jnp.sin(half)
+        zero = jnp.zeros_like(cos)
+        parts = {
+            "X": (sin, zero, zero),
+            "Y": (zero, sin, zero),
+            "Z": (zero, zero, sin),
+        }[c]
+        qi = jnp.stack([cos, *parts], axis=0)
+        q = qi if q is None else quat_mul_cm(q, qi)
+    return q
+
+
+def se3_key_cm(q: jax.Array, t: jax.Array, w: float = 0.01) -> jax.Array:
+    """Channel-major codebook key: (4, N), (3, N) -> (6, N)."""
+    return jnp.concatenate([(1.0 - w) * t, w * quat_log_cm(q)], axis=0)
+
+
+def particle_rmse_quat_cm(
+    q: jax.Array,
+    t: jax.Array,
+    gt_q: jax.Array,
+    gt_t: jax.Array,
+    mask: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """particle_rmse_quat over channel-major state: q (4, N), t (3, N),
+    gt_q (4,), gt_t (3,), mask (N,)."""
+    if mask is None:
+        mask = jnp.ones(t.shape[1], dtype=t.dtype)
+    msum = jnp.maximum(jnp.sum(mask), 1.0)
+    d = t - gt_t[:, None]
+    e2 = jnp.sum(d * d, axis=0)
+    dot = jnp.clip(jnp.abs(jnp.sum(q * gt_q[:, None], axis=0)), 0.0, 1.0)
+    ang = jnp.degrees(2.0 * jnp.arccos(dot))  # [0, 180], pre-wrapped
+    rmse_t = jnp.sqrt(jnp.sum(mask * e2) / msum)
+    rmse_r = jnp.sqrt(jnp.sum(mask * ang**2) / msum)
+    return rmse_t, rmse_r
+
+
 def se3_key_from_tf(T: jax.Array, w: float = 0.01) -> jax.Array:
     return jnp.concatenate(
         [(1.0 - w) * T[..., :3, 3], w * so3_log(T[..., :3, :3])], axis=-1

@@ -69,11 +69,13 @@ def codebook_shardings(mesh: Mesh, cb_axis: str | None = None):
 
 def state_shardings(mesh: Mesh, axis: str = "dp") -> ParticleState:
     """Sharding pytree for ParticleState: particle-dim arrays split over
-    the mesh axis, scalars replicated."""
+    the mesh axis, scalars replicated. q/t are channel-major (C, N), so
+    the particle axis is dim 1; weights/labels are (N,)."""
     shard = NamedSharding(mesh, P(axis))
+    shard_cm = NamedSharding(mesh, P(None, axis))
     rep = NamedSharding(mesh, P())
     return ParticleState(
-        q=shard, t=shard, weights=shard, labels=shard,
+        q=shard_cm, t=shard_cm, weights=shard, labels=shard,
         n_active=rep, particle_var=rep, init_count=rep,
     )
 

@@ -79,7 +79,7 @@ class Viz:
         v = self.mesh.vertices
         sub = max(len(v) // 2000, 1)
         ax.scatter(*v[::sub].T, s=1, c="lightgray", alpha=0.4)
-        t = np.asarray(state.t)
+        t = np.asarray(state.t_rows)
         alive = np.asarray(state.alive)
         pts = t[alive][: self.max_drawn]
         ax.scatter(*pts.T, s=2, c="tab:blue", alpha=0.6, label="particles")

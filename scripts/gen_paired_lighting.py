@@ -41,6 +41,7 @@ def main():
     obj = kv.get("obj", "boulder")
     n = int(kv.get("n", 3000))
     out = kv.get("out", os.path.join("data", "sim", obj, f"paired_{n}.npz"))
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
 
     cfg = compose([f"expt.obj_model={obj}", "tpu.render_max_faces=512"])
     mesh = common.resolve_mesh(obj)

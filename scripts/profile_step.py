@@ -67,7 +67,7 @@ def main():
     gt = jnp.asarray(poses[0], np.float32)
 
     verts = pf.mesh_vertices
-    keys6 = se3.se3_key(state.q, state.t)
+    keys6 = se3.se3_key_cm(state.q, state.t).T
 
     # stages: each body maps its carry to a same-shaped carry that DEPENDS
     # on the stage output (so scan cannot hoist the work out of the loop)
@@ -76,7 +76,7 @@ def main():
         return k + 0.0 * idx.astype(jnp.float32)[:, None]
 
     def key_body(q):
-        return q + 0.0 * se3.se3_key(q, state.t)[:, :4]
+        return q + 0.0 * se3.se3_key_cm(q, state.t)[:4]
 
     def sim_body(c):
         sims = cb.similarity(c)
@@ -92,7 +92,7 @@ def main():
                           ann_index=ann, ann_window=2048, ann_probes=2)
 
     def ann_body(k):
-        idx = cb.se3_nn_idx(
+        idx = cb.se3_nn_idx_cm(
             state.q, state.t, ann_index=ann,
         )
         return k + 0.0 * idx.astype(jnp.float32)[:, None]
@@ -103,7 +103,8 @@ def main():
     window("similarity matvec", sim_body, code)
     window("NN + matvec + scalar gather", simgather_body, keys6)
     window("min_distance drift prune",
-           lambda t: t + 0.0 * knn.min_distance(t, verts)[:, None], state.t)
+           lambda t: t + 0.0 * knn.min_distance(t, verts)[:, None],
+           state.t_rows)
     window("motion model",
            lambda s: pf.motion_model(jax.random.PRNGKey(1), s, oq, ot), state)
     window("annealing (argsort)",

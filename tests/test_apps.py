@@ -276,7 +276,7 @@ def test_sense_batch_and_fused_update_match_per_frame(workspace, cfg):
     s_fused, st_fused, code_f, _, _ = step.sense_update(
         state0, kf, images[1], meas_j, 0, 1, gt)
     k_sense, k_update = jax.random.split(kf)
-    code, _, _ = step.sense(images[1], k_sense)
+    code, _, _, _ = step.sense(images[1], k_sense)
     from midastouch_tpu.apps.filter import _relative_odom
     oq, ot = _relative_odom(meas_j, 0, 1)
     s_split, st_split = step.update(state0, k_update, code, oq, ot, gt)

@@ -73,3 +73,96 @@ def test_single_touch_metric_discriminates(rng):
     # smooth embeddings retrieve nearby poses; random retrieval scores ~1
     assert s["median_normalized_error"] < 0.6
     assert 0.7 < r["median_normalized_error"] < 1.4
+
+
+def test_reference_pickle_roundtrip(rng, tmp_path):
+    """Reference-asset ingestion dry run: forge a pickle with the EXACT
+    class/module path and field layout of the reference's tactile_tree
+    (tactile_tree/tactile_tree.py:13-41 — a torch nn.Module with poses /
+    cam_poses / embeddings tensors and a pynanoflann tree), then convert
+    it WITHOUT the midastouch/pynanoflann packages installed and check
+    query parity against a natively-built Codebook."""
+    import pickle
+    import sys
+    import types
+
+    import torch
+
+    from midastouch_tpu.codebook.convert import (
+        convert_reference_codebook,
+        load_reference_codebook,
+    )
+
+    m = 400
+    mesh = procedural.icosphere(radius=0.04, subdivisions=3)
+    poses = sample_poses_on_mesh(mesh, m, np.random.default_rng(0), edges=False)
+    cam = poses.copy()
+    cam[:, :3, 3] += cam[:, :3, 2] * 0.022
+    emb = np.random.default_rng(1).normal(size=(m, 64)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+
+    # forge the reference's class under its module path
+    class tactile_tree(torch.nn.Module):
+        def __init__(self, poses, cam_poses, embeddings):
+            super().__init__()
+            self.poses = poses
+            self.cam_poses = cam_poses
+            self.embeddings = embeddings
+            self.tree = object.__new__(_FakeKDTree)
+            self.tree_size = len(poses)
+
+    class _FakeKDTree:  # stands in for pynanoflann.KDTree
+        pass
+
+    fake_mod = types.ModuleType("midastouch.tactile_tree.tactile_tree")
+    tactile_tree.__module__ = "midastouch.tactile_tree.tactile_tree"
+    tactile_tree.__qualname__ = "tactile_tree"
+    _FakeKDTree.__module__ = "pynanoflann"
+    _FakeKDTree.__qualname__ = "KDTree"
+    fake_mod.tactile_tree = tactile_tree
+    fake_pyn = types.ModuleType("pynanoflann")
+    fake_pyn.KDTree = _FakeKDTree
+    pkg1 = types.ModuleType("midastouch")
+    pkg2 = types.ModuleType("midastouch.tactile_tree")
+    sys.modules.update({
+        "midastouch": pkg1,
+        "midastouch.tactile_tree": pkg2,
+        "midastouch.tactile_tree.tactile_tree": fake_mod,
+        "pynanoflann": fake_pyn,
+    })
+    try:
+        tree = tactile_tree(
+            torch.tensor(poses, dtype=torch.float32),
+            torch.tensor(cam, dtype=torch.float32),
+            torch.tensor(emb, dtype=torch.float32),
+        )
+        pkl = tmp_path / "codebook.pkl"
+        with open(pkl, "wb") as fh:
+            pickle.dump(tree, fh)
+    finally:
+        # the converter must work WITHOUT these modules importable
+        for name in ("midastouch", "midastouch.tactile_tree",
+                     "midastouch.tactile_tree.tactile_tree", "pynanoflann"):
+            sys.modules.pop(name, None)
+
+    npz = str(tmp_path / "codebook.npz")
+    cb = convert_reference_codebook(str(pkl), npz)
+    assert len(cb) == m
+
+    # parity vs a natively-built codebook from the same arrays
+    native = Codebook.from_poses(poses, cam, emb)
+    np.testing.assert_allclose(np.asarray(cb.keys), np.asarray(native.keys),
+                               atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(cb.embeddings), np.asarray(native.embeddings), atol=1e-6
+    )
+
+    # reload from the saved npz and run a query end-to-end
+    cb2 = Codebook.load(npz)
+    q, t = cb2.q[:16], cb2.t[:16]
+    idx = np.asarray(cb2.se3_nn_idx(q, t, backend="xla"))
+    np.testing.assert_array_equal(idx, np.arange(16))
+
+    # load_reference_codebook alone (no npz round trip)
+    cb3 = load_reference_codebook(str(pkl))
+    np.testing.assert_allclose(np.asarray(cb3.t), poses[:, :3, 3], atol=1e-6)

@@ -37,12 +37,12 @@ def test_init_filter_statistics():
     pf = _make_pf(mesh)
     gt = jnp.eye(4)
     state = pf.init_filter(jax.random.PRNGKey(0), gt, 20000)
-    t = np.asarray(state.t)
+    t = np.asarray(state.t_rows)
     np.testing.assert_allclose(t.std(axis=0), mesh.scale / 3.0, rtol=0.05)
     assert int(state.n_active) == 20000
     # quaternions unit
     np.testing.assert_allclose(
-        np.linalg.norm(np.asarray(state.q), axis=1), 1.0, atol=1e-5
+        np.linalg.norm(np.asarray(state.q_rows), axis=1), 1.0, atol=1e-5
     )
 
 
@@ -56,11 +56,11 @@ def test_motion_model_statistics():
     odom_t = jnp.array([0.01, 0.0, 0.0])
     odom_q = jnp.array([1.0, 0, 0, 0])
     out = pf.motion_model(jax.random.PRNGKey(1), state, odom_q, odom_t)
-    t = np.asarray(out.t)
+    t = np.asarray(out.t_rows)
     np.testing.assert_allclose(t.mean(axis=0), [0.01, 0, 0], atol=1e-4)
     np.testing.assert_allclose(t.std(axis=0), 1e-3, rtol=0.1)
     # rotation noise ~1 deg
-    ang = np.asarray(se3.rotation_angle_deg(se3.quat_to_matrix(out.q)))
+    ang = np.asarray(se3.rotation_angle_deg(se3.quat_to_matrix(out.q_rows)))
     assert 0.5 < np.median(ang) < 3.0
 
 
@@ -182,12 +182,12 @@ def test_resampler_concentrates_on_high_weight():
     state = state._replace(weights=w)
     out = pf.resampler(jax.random.PRNGKey(0), state)
     np.testing.assert_allclose(
-        np.asarray(out.t), np.tile(np.asarray(t[7]), (n, 1)), atol=0
+        np.asarray(out.t_rows), np.tile(np.asarray(t[7]), (n, 1)), atol=0
     )
     # degenerate weights -> unchanged
     state0 = state._replace(weights=jnp.zeros(n))
     out0 = pf.resampler(jax.random.PRNGKey(0), state0)
-    np.testing.assert_array_equal(np.asarray(out0.t), np.asarray(t))
+    np.testing.assert_array_equal(np.asarray(out0.t_rows), np.asarray(t))
 
 
 def _smooth_embedding(keys: np.ndarray, dim: int = 32, seed: int = 3):
@@ -253,8 +253,8 @@ def test_end_to_end_localization_synthetic():
     key, k0 = jax.random.split(key)
     state = pf.init_filter(k0, jnp.asarray(traj[0], dtype=jnp.float32), n_particles)
     # project to codebook like the reference (filter.py:159-160)
-    qn, tn_, _, _, _, _ = cb.se3_nn(state.q, state.t, backend=BACKEND)
-    state = state._replace(q=qn, t=tn_)
+    qn, tn_, _, _, _, _ = cb.se3_nn(state.q_rows, state.t_rows, backend=BACKEND)
+    state = state._replace(q=qn.T, t=tn_.T)
 
     init_rmse = float(pf.rmse(state, jnp.asarray(traj[0], dtype=jnp.float32))[0])
 
@@ -267,13 +267,17 @@ def test_end_to_end_localization_synthetic():
             se3.matrix_to_quat(jnp.asarray(odom[:3, :3], dtype=jnp.float32)),
             jnp.asarray(odom[:3, 3], dtype=jnp.float32),
         )
-        _, _, _, _, nn_codes, _ = cb.se3_nn(state.q, state.t, backend=BACKEND)
+        _, _, _, _, nn_codes, _ = cb.se3_nn(
+            state.q_rows, state.t_rows, backend=BACKEND
+        )
         w = pf.get_similarity(jnp.asarray(codes[i]), nn_codes, state.alive)
         state = state._replace(weights=w)
         state, drifted = pf.remove_invalid_particles(state)
         if bool(drifted):  # re-project like the reference (filter.py:176-179)
-            qn, tn_, _, _, _, _ = cb.se3_nn(state.q, state.t, backend=BACKEND)
-            state = state._replace(q=qn, t=tn_)
+            qn, tn_, _, _, _, _ = cb.se3_nn(
+                state.q_rows, state.t_rows, backend=BACKEND
+            )
+            state = state._replace(q=qn.T, t=tn_.T)
         if i % 10 == 1:
             state = pf.cluster_particles(state)
         poses_c, stds, valid = pf.get_cluster_centers(state)
@@ -417,3 +421,170 @@ def test_fast_path_parity_on_learned_codebook():
         f"drift gate would prune {100*pruned:.1f}% of on-surface particles "
         f"(thresh {step._drift_thresh*1000:.2f} mm)"
     )
+
+
+def test_canonical_angle_rotation_equivariance():
+    """canonical_angle must shift by exactly the image-plane rotation of
+    the content (the invariant the yaw scoring relies on): rotating an
+    asymmetric penetration pattern by d moves the angle by d."""
+    from midastouch_tpu.ops import image as image_ops
+
+    h, w = 96, 128
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+
+    def pattern(rot):
+        # asymmetric two-blob pattern rotated by `rot` about the center
+        c, s = np.cos(rot), np.sin(rot)
+        dx, dy = xs - w / 2, ys - h / 2
+        u = c * dx + s * dy
+        v = -s * dx + c * dy
+        z = 3.0 * np.exp(-((u - 18) ** 2 + v**2) / 60.0)
+        z += 1.5 * np.exp(-((u + 12) ** 2 + (v - 6) ** 2) / 120.0)
+        return z
+
+    a0 = float(image_ops.canonical_angle(
+        jnp.asarray(pattern(0.0)), jnp.ones((h, w), bool)
+    ))
+    for d in (0.3, -0.6, 1.1):
+        ad = float(image_ops.canonical_angle(
+            jnp.asarray(pattern(d)), jnp.ones((h, w), bool)
+        ))
+        err = (ad - a0 - d + np.pi) % (2 * np.pi) - np.pi
+        assert abs(err) < 0.05, (d, a0, ad)
+
+
+@pytest.mark.slow
+def test_canonical_angle_yaw_relation_rendered():
+    """yaw_sign calibration against the real render chain: rotating the
+    GEL pose by yaw d about its z axis (T' = T @ Rz(d)) produces a patch
+    whose canonical angle shifts by +d (tpu.yaw_sign = +1; derivation:
+    cam' = cam @ Rz(d) since Rz commutes with the gel->cam z-offset, and
+    the pixel map u=+x / row=-y makes a camera-frame rotation by -d an
+    image-plane rotation by +d)."""
+    from midastouch_tpu.apps import common
+    from midastouch_tpu.ops import image as image_ops
+    from midastouch_tpu.utils.config import compose
+
+    cfg = compose(["expt.obj_model=boulder", "tpu.render_max_faces=512"])
+    mesh = procedural.get_test_mesh("boulder")
+    renderer = common.make_renderer(cfg, mesh, randomize=False, seed=0)
+    rng = np.random.default_rng(4)
+    poses = sample_poses_on_mesh(mesh, 6, rng, edges=False, shear_mag_deg=0.0)
+
+    def angle_of(hm, mask):
+        hm32, m = image_ops.rectify_tilt(
+            jnp.asarray(hm, jnp.float32), jnp.asarray(mask)
+        )
+        zb, mb = image_ops.depth_band(hm32, m, band_px=0.7 / 0.03)
+        return float(image_ops.canonical_angle(zb, mb))
+
+    errs = []
+    for T0 in poses[:4]:
+        for d in (0.4, -0.7):
+            Rz = np.eye(4, dtype=np.float32)
+            c, s = np.cos(d), np.sin(d)
+            Rz[:2, :2] = [[c, -s], [s, c]]
+            _, hma, ma, _, _ = renderer.render(
+                jnp.asarray(T0), press_depth=0.0015
+            )
+            _, hmb, mb_, _, _ = renderer.render(
+                jnp.asarray((T0 @ Rz).astype(np.float32)), press_depth=0.0015
+            )
+            da = angle_of(hmb, mb_) - angle_of(hma, ma)
+            errs.append((da - d + np.pi) % (2 * np.pi) - np.pi)
+    # most sites must agree with yaw_sign=+1 (a few may flip their skew
+    # disambiguation when the patch is near-symmetric)
+    errs = np.abs(np.asarray(errs))
+    assert np.median(errs) < 0.15, errs
+
+
+@pytest.mark.slow
+def test_yaw_scoring_recovers_rotation():
+    """Canonical-yaw measurement scoring (FilterStep yaw_kappa) must make
+    the rotation DOF observable: with a codebook whose canon_angle encodes
+    each entry's site-frame yaw (the invariant the renderer satisfies,
+    test_canonical_angle_yaw_relation_rendered), the filter's rotation
+    RMSE must converge far below the yaw-off run."""
+    from midastouch_tpu.filter.step import FilterStep
+
+    rng = np.random.default_rng(0)
+    mesh = procedural.icosphere(radius=0.04, subdivisions=4)
+    pf = _make_pf(mesh, cluster_subsample=256, max_clusters=8)
+
+    M = 3000
+    cb_poses = sample_poses_on_mesh(mesh, M, rng, edges=False)
+    cam = cb_poses.copy()
+    cam[:, :3, 3] += cam[:, :3, 2] * 0.022
+    # YAW-BLIND embedding (position-only features): the canonical-patch
+    # descriptor quotients out yaw, so similarity carries no rotation
+    # information — zeroing the rotation part of the key reproduces that
+    keys6 = np.array(
+        se3.se3_key_from_tf(jnp.asarray(cb_poses.astype(np.float32)))
+    )
+    keys6[:, 3:] = 0.0
+    emb = _smooth_embedding(keys6)
+
+    def site_yaw(poses):
+        """Yaw of each pose about its own surface normal, measured against
+        a deterministic site frame: F = pose_from_vertex_normal(site,
+        normal, shear=0, delta=0). On a sphere normal = t/r."""
+        t = poses[:, :3, 3].astype(np.float32)
+        n = t / np.linalg.norm(t, axis=1, keepdims=True)
+        F = np.asarray(se3.pose_from_vertex_normal(
+            jnp.asarray(t), jnp.asarray(n), 0.0,
+            jnp.zeros(len(t), jnp.float32), jax.random.PRNGKey(0),
+        ))
+        rel = np.linalg.inv(F) @ poses
+        q = np.asarray(se3.matrix_to_quat(jnp.asarray(
+            rel[:, :3, :3].astype(np.float32))))
+        return 2.0 * np.arctan2(q[:, 3], q[:, 0])
+
+    # canon_angle consistent with yaw_sign=+1: angle = site_yaw (any
+    # per-site constant offset cancels in live - entry)
+    cb_angles = site_yaw(cb_poses).astype(np.float32)
+    cb = Codebook.from_poses(cb_poses, cam, emb, canon_angle=cb_angles)
+
+    # great-circle slide trajectory with spinning yaw
+    T = 60
+    radius = 0.04
+    u = np.array([1.0, 0, 0])
+    v = np.array([0.0, np.cos(0.4), np.sin(0.4)])
+    s = 0.02 * np.arange(T)
+    pts = radius * (np.cos(s)[:, None] * u + np.sin(s)[:, None] * v)
+    normals = pts / radius
+    delta = 0.05 * np.arange(T)
+    traj = np.asarray(se3.pose_from_vertex_normal(
+        jnp.asarray(pts.astype(np.float32)),
+        jnp.asarray(normals.astype(np.float32)),
+        0.0, jnp.asarray(delta.astype(np.float32)), jax.random.PRNGKey(9),
+    ))
+    traj_keys = np.array(
+        se3.se3_key_from_tf(jnp.asarray(traj.astype(np.float32)))
+    )
+    traj_keys[:, 3:] = 0.0
+    codes = _smooth_embedding(traj_keys)
+    live_angles = site_yaw(traj).astype(np.float32)
+
+    odom = np.linalg.inv(traj[:-1]) @ traj[1:]
+    oq = jnp.asarray(np.asarray(se3.matrix_to_quat(
+        jnp.asarray(odom[:, :3, :3].astype(np.float32)))))
+    ot = jnp.asarray(odom[:, :3, 3].astype(np.float32))
+    gts = jnp.asarray(traj[1:].astype(np.float32))
+
+    finals = {}
+    for kappa in (0.0, 3.0):
+        step = FilterStep(pf, cb, floor=256, yaw_kappa=kappa, yaw_sign=1.0)
+        key = jax.random.PRNGKey(1)
+        key, k0, kr = jax.random.split(key, 3)
+        state = step.initialize(k0, jnp.asarray(traj[0], jnp.float32), 4096)
+        final, seq = step.replay(
+            state, kr, oq, ot, gts, codes=jnp.asarray(codes[1:]),
+            angles=jnp.asarray(live_angles[1:]) if kappa > 0 else None,
+            cluster_every=10,
+        )
+        rmse_r = np.asarray(seq[1])
+        finals[kappa] = float(rmse_r[-5:].mean())
+
+    # yaw-on must observe the rotation DOF the embedding quotients out
+    assert finals[3.0] < 35.0, finals
+    assert finals[3.0] < 0.6 * finals[0.0], finals

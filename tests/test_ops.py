@@ -114,6 +114,31 @@ def test_normalize_minmax():
     assert out.min() == 0 and out.max() == 255
 
 
+def test_normalize_illum_cancels_smooth_nuisance():
+    # a fine-structure signal under two different smooth illumination
+    # fields must normalize to (nearly) the same input
+    h, w = 64, 48
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    signal = 20.0 * np.sin(xs * 2.1) * np.cos(ys * 1.7)
+    vign_a = 120.0 + 40.0 * (xs / w)  # smooth gradient A
+    vign_b = 150.0 - 50.0 * (ys / h)  # smooth gradient B
+    img_a = np.stack([signal + vign_a] * 3, -1)
+    img_b = np.stack([1.3 * (signal + vign_b)] * 3, -1)  # + gain change
+    na = np.asarray(image.normalize_image(jnp.asarray(img_a), "illum33"))
+    nb = np.asarray(image.normalize_image(jnp.asarray(img_b), "illum33"))
+    # interior agreement (borders see partial windows)
+    d = np.abs(na - nb)[8:-8, 8:-8]
+    assert d.mean() < 0.2, d.mean()
+    # the affine-only normalization does NOT cancel the spatial gradient
+    pa = np.asarray(image.normalize_image(jnp.asarray(img_a), "per_channel"))
+    pb = np.asarray(image.normalize_image(jnp.asarray(img_b), "per_channel"))
+    assert np.abs(pa - pb)[8:-8, 8:-8].mean() > d.mean() * 2
+
+    # divide variant parses + runs
+    dv = np.asarray(image.normalize_image(jnp.asarray(img_a), "illum_div33"))
+    assert dv.shape == img_a.shape and np.isfinite(dv).all()
+
+
 def test_heightmap_mask_basic():
     h, w, b = 64, 48, 4
     bg = jnp.zeros((h, w))

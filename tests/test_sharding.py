@@ -97,4 +97,4 @@ def test_state_shardings_pytree(tiny):
     sh = state_shardings(mesh)
     sstate = shard_state(state, mesh)
     assert sstate.q.sharding.is_equivalent_to(sh.q, ndim=2)
-    assert len(np.asarray(sstate.t)) == state.capacity
+    assert np.asarray(sstate.t).shape[1] == state.capacity
