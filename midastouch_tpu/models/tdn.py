@@ -65,7 +65,9 @@ class TDN:
         else:  # fresh init (no pretrained assets in this environment)
             key = jax.random.PRNGKey(seed)
             self.variables = self.model.init(
-                key, jnp.zeros((1, h, w, 3)), train=False
+                key,
+                jnp.zeros((1, h, w, image_ops.norm_channels(self.input_norm))),
+                train=False,
             )
 
         self._fwd = jax.jit(

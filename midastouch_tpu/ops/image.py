@@ -47,15 +47,26 @@ def normalize_per_channel(img: jax.Array) -> jax.Array:
 
 def box_blur(img: jax.Array, k: int) -> jax.Array:
     """Separable k x k box blur of (H, W) or (H, W, C) with SAME edge
-    handling (border means are over the in-bounds window)."""
+    handling (border means are over the in-bounds window). Two 1-D
+    reduce_windows (2k adds/px) instead of one dense k x k window (k^2
+    adds/px — 30x more VPU work at k=65); exact because rectangular
+    window sums and counts both factorize: mean2d = sum_y(sum_x) /
+    (count_x * count_y)."""
     chan = img.ndim == 3
     x = img if chan else img[..., None]
-    win = (k, k, 1)
-    pads = ((k // 2, k - 1 - k // 2), (k // 2, k - 1 - k // 2), (0, 0))
-    ssum = jax.lax.reduce_window(x, 0.0, jax.lax.add, win, (1, 1, 1), pads)
-    cnt = jax.lax.reduce_window(
-        jnp.ones_like(x), 0.0, jax.lax.add, win, (1, 1, 1), pads
-    )
+    pad = (k // 2, k - 1 - k // 2)
+
+    def sum1d(a, axis):
+        win = [1, 1, 1]
+        win[axis] = k
+        pads = [(0, 0), (0, 0), (0, 0)]
+        pads[axis] = pad
+        return jax.lax.reduce_window(
+            a, 0.0, jax.lax.add, tuple(win), (1, 1, 1), tuple(pads)
+        )
+
+    ssum = sum1d(sum1d(x, 0), 1)
+    cnt = sum1d(sum1d(jnp.ones_like(x), 0), 1)
     out = ssum / cnt
     return out if chan else out[..., 0]
 
@@ -83,11 +94,20 @@ def normalize_illum(img: jax.Array, k: int = 65, div: bool = False) -> jax.Array
 
 def normalize_image(img: jax.Array, mode: str = "minmax") -> jax.Array:
     """TDN input normalization: 'minmax' (reference parity, tdn.py:108),
-    'per_channel' (lighting-robust affine; see normalize_per_channel), or
-    'illum'/'illum_div' (spatial illumination removal; normalize_illum).
+    'per_channel' (lighting-robust affine; see normalize_per_channel),
+    'illum'/'illum_div' (spatial illumination removal; normalize_illum),
+    or 'pc_illum' (6-channel hybrid: per-channel-standardized absolute
+    shading, which carries the depth scale, concatenated with the
+    illumination-removed channels, which carry the lighting-stable
+    relief — the downstream FCRN infers its input width from the data).
     An optional kernel suffix sets the blur size, e.g. 'illum33'."""
     if mode == "per_channel":
         return normalize_per_channel(img)
+    if mode.startswith("pc_illum"):
+        k = int(mode[len("pc_illum"):]) if mode[len("pc_illum"):] else 65
+        return jnp.concatenate(
+            [normalize_per_channel(img), normalize_illum(img, k=k)], axis=-1
+        )
     if mode.startswith("illum"):
         div = mode.startswith("illum_div")
         suffix = mode[len("illum_div"):] if div else mode[len("illum"):]
@@ -96,6 +116,12 @@ def normalize_image(img: jax.Array, mode: str = "minmax") -> jax.Array:
     if mode != "minmax":
         raise ValueError(f"unknown input_norm {mode!r}")
     return normalize_minmax(img)
+
+
+def norm_channels(mode: str) -> int:
+    """Channel count normalize_image produces for a 3-channel input —
+    model init must agree with the configured input_norm."""
+    return 6 if mode.startswith("pc_illum") else 3
 
 
 def highpass(img: jax.Array, k: int = 9) -> jax.Array:

@@ -256,6 +256,7 @@ def train_paired(
     relief_kernel = int(tcfg.get("relief_kernel", 9))
     pair_weight = float(tcfg.get("pair_weight", 10.0))
     model = FCRN(out_size=(h, w))
+    in_c = image_ops.norm_channels(input_norm)
     key = jax.random.PRNGKey(seed)
     if resume_path and os.path.exists(resume_path):
         from midastouch_tpu.models.params_io import load_variables
@@ -263,7 +264,7 @@ def train_paired(
         variables = load_variables(resume_path)
         print(f"resumed weights from {resume_path}")
     else:
-        variables = model.init(key, jnp.zeros((1, h, w, 3)), train=False)
+        variables = model.init(key, jnp.zeros((1, h, w, in_c)), train=False)
     params, batch_stats = variables["params"], variables["batch_stats"]
 
     steps_per_epoch = max(len(train_idx) // batch_size, 1)
@@ -388,6 +389,7 @@ def train(
     relief_weight = float(tcfg.get("relief_weight", 0.0))
     relief_kernel = int(tcfg.get("relief_kernel", 9))
     model = FCRN(out_size=(h, w))
+    in_c = image_ops.norm_channels(input_norm)
     key = jax.random.PRNGKey(seed)
     if resume_path and os.path.exists(resume_path):
         from midastouch_tpu.models.params_io import load_variables
@@ -395,7 +397,7 @@ def train(
         variables = load_variables(resume_path)  # (reference train.py:113-125)
         print(f"resumed weights from {resume_path}")
     else:
-        variables = model.init(key, jnp.zeros((1, h, w, 3)), train=False)
+        variables = model.init(key, jnp.zeros((1, h, w, in_c)), train=False)
     params, batch_stats = variables["params"], variables["batch_stats"]
 
     # LR x0.6 every 10 epochs (reference train.py:223-233)
