@@ -24,7 +24,11 @@ N_PARTICLES = int(os.environ.get("BENCH_PARTICLES", 50_000))
 CODEBOOK_SIZE = int(os.environ.get("BENCH_CODEBOOK", 50_000))
 EMB_DIM = 256
 WARMUP = 5
-ITERS = 50
+# 400-step windows: the TPU tunnel adds a PER-CALL dispatch latency that
+# fluctuates between ~0.05 ms and ~20+ ms (measured round 5); at 50-step
+# windows a congested call inflated the per-step time by up to 0.4 ms.
+# Long windows amortize it, and real replays are whole-log scans anyway.
+ITERS = int(os.environ.get("BENCH_ITERS", 400))
 
 
 def main() -> None:
@@ -67,7 +71,7 @@ def main() -> None:
     codebook = codebook.astype_embeddings(jnp.bfloat16)
     step = FilterStep(
         pf, codebook, floor=1000,
-        ann_index=ann_index, ann_window=2048, ann_probes=2,
+        ann_index=ann_index, ann_window=1024, ann_probes=1,
         drift_from_codebook=True,
     )
 

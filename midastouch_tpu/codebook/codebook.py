@@ -118,16 +118,26 @@ class Codebook:
 
     def build_ann_index(
         self, kind: str = "bucketed", num_cells: int | None = None,
-        seed: int = 0,
+        seed: int = 0, **kwargs,
     ):
         """Approximate-NN index over the keys (ops/ann.py) — built once per
-        codebook load. kind="windowed" (sorted contiguous bands, gather-
-        free — the TPU-competitive one) or "bucketed" (gathered cells)."""
+        codebook load. kind="blocked" (whole-slab gathers — the fastest
+        on TPU), "windowed" (sorted contiguous bands) or "bucketed"
+        (gathered cells)."""
         from midastouch_tpu.ops.ann import (
+            build_blocked_index,
             build_bucket_index,
             build_sorted_index,
         )
 
+        if kind == "blocked":
+            return build_blocked_index(
+                np.asarray(self.keys),
+                num_cells=num_cells or max(64, len(self) // 96),
+                block=kwargs.get("block", 2048),
+                probes=kwargs.get("probes", 4),
+                seed=seed,
+            )
         if kind == "windowed":
             return build_sorted_index(
                 np.asarray(self.keys),
@@ -136,8 +146,9 @@ class Codebook:
             )
         if kind != "bucketed":
             raise ValueError(
-                f"unknown ANN kind {kind!r}: expected 'windowed' or "
-                "'bucketed' (use tpu.codebook_ann=false for exact search)"
+                f"unknown ANN kind {kind!r}: expected 'blocked', "
+                "'windowed' or 'bucketed' (tpu.codebook_ann=false for "
+                "exact search)"
             )
         if num_cells is None:
             num_cells = max(32, len(self) // 128)
@@ -193,11 +204,15 @@ class Codebook:
     ) -> jax.Array:
         if ann_index is not None:
             from midastouch_tpu.ops.ann import (
+                BlockedIndex,
                 SortedIndex,
+                nn_search_blocked,
                 nn_search_bucketed,
                 nn_search_windowed,
             )
 
+            if isinstance(ann_index, BlockedIndex):
+                return nn_search_blocked(keys, ann_index, probes=ann_probes)
             if isinstance(ann_index, SortedIndex):
                 return nn_search_windowed(
                     keys, ann_index, window=ann_window, probes=ann_probes

@@ -227,6 +227,180 @@ def build_sorted_index(
     )
 
 
+# ---------------------------------------------------------------------------
+# slab-gather (blocked) variant
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class BlockedIndex:
+    """Slab-gather ANN: the Hilbert-sorted key table padded to whole
+    (block, d) slabs, plus a host-precomputed per-CELL probe table that
+    names which P slabs to score for a query landing in that cell.
+
+    The candidate fetch is a gather of whole contiguous (block, d) slabs
+    along the leading axis instead of the windowed variant's per-tile
+    dynamic-sliced bands; what the fixed slab alignment loses in
+    centering, the probe table buys back on the host: for each cell it
+    stores (1) the slab holding the cell's rows, (2) the rank-adjacent
+    slab on the side the cell leans toward, and (3+) seam-partner slabs
+    — slabs of the spatially nearest cells whose rows are NOT already
+    covered, the windowed variant's per-tile partner mechanism paid once
+    at build time instead of per query.
+
+    MEASURED (round 5, v5e, ANN_RECALL.json): per CANDIDATE this probes
+    slightly better than windowed (recall 0.945 vs 0.929 at 2048
+    candidates, 0.989 at 6144), but end-to-end it is NOT faster (260 vs
+    271 steps/s at equal candidates) — the windowed variant's band fetch
+    was never its bottleneck; scoring the candidates is. Kept as a
+    correct, tested alternative; `windowed` stays the default."""
+
+    centroids: jax.Array  # (B, d) in Hilbert order
+    probe_blocks: jax.Array  # (B, P) int32 slab ids per cell
+    keys_blocked: jax.Array  # (nb, block, d); tail padded with sentinel
+    perm: jax.Array  # (M,) sorted-row -> original entry id
+
+    def tree_flatten(self):
+        return (
+            self.centroids, self.probe_blocks, self.keys_blocked, self.perm
+        ), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def block(self) -> int:
+        return self.keys_blocked.shape[1]
+
+    @property
+    def max_probes(self) -> int:
+        return self.probe_blocks.shape[1]
+
+
+def build_blocked_index(
+    keys: np.ndarray,
+    num_cells: int = 512,
+    block: int = 2048,
+    probes: int = 6,
+    seed: int = 0,
+    curve: str = "hilbert",
+) -> BlockedIndex:
+    """Host-side build: k-means cells, Hilbert-order them, sort entries by
+    cell, pad to whole blocks, and precompute the per-cell probe table."""
+    from sklearn.cluster import KMeans
+
+    keys = np.asarray(keys, dtype=np.float32)
+    m, d = keys.shape
+    b = min(num_cells, max(m // 8, 1))
+    km = KMeans(n_clusters=b, n_init=3, random_state=seed).fit(keys)
+    order_fn = _hilbert_order if curve == "hilbert" else _morton_order
+    order = order_fn(km.cluster_centers_)
+    rank = np.empty(b, dtype=np.int64)
+    rank[order] = np.arange(b)
+    cells = rank[km.labels_]
+    cent = km.cluster_centers_[order].astype(np.float32)
+
+    perm = np.argsort(cells, kind="stable")
+    cells_sorted = cells[perm]
+    cell_start = np.searchsorted(cells_sorted, np.arange(b + 1))
+
+    blk = max(min(block, m), 1)
+    nb = (m + blk - 1) // blk
+    pad = nb * blk - m
+    keys_blocked = np.concatenate(
+        [keys[perm], np.full((pad, d), _SENTINEL, dtype=np.float32)], axis=0
+    ).reshape(nb, blk, d)
+
+    p = min(probes, nb) if nb > 1 else 1
+    mid = (cell_start[:-1] + np.maximum(cell_start[1:], cell_start[:-1] + 1)) // 2
+    b0 = np.clip(mid // blk, 0, nb - 1)
+    lean_up = (mid % blk) >= blk // 2
+    nbr = np.clip(np.where(lean_up, b0 + 1, b0 - 1), 0, nb - 1)
+
+    # seam partners: spatially nearest cells' primary slabs, in distance
+    # order, skipping slabs already probed
+    d2 = (
+        np.sum(cent**2, axis=1)[:, None]
+        - 2 * cent @ cent.T
+        + np.sum(cent**2, axis=1)[None, :]
+    )
+    near = np.argsort(d2, axis=1)  # (B, B), col 0 = self
+    probe = np.zeros((b, p), dtype=np.int32)
+    for c in range(b):
+        chosen = []
+        for cand in [b0[c], nbr[c]] + [b0[o] for o in near[c, 1:]]:
+            if cand not in chosen:
+                chosen.append(int(cand))
+            if len(chosen) == p:
+                break
+        while len(chosen) < p:  # fewer distinct slabs than probes
+            chosen.append(chosen[-1])
+        probe[c] = chosen
+
+    return BlockedIndex(
+        centroids=jnp.asarray(cent),
+        probe_blocks=jnp.asarray(probe),
+        keys_blocked=jnp.asarray(keys_blocked),
+        perm=jnp.asarray(perm.astype(np.int32)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "probes"))
+def nn_search_blocked(
+    queries: jax.Array,
+    index: BlockedIndex,
+    tile: int = 256,
+    probes: int | None = None,
+) -> jax.Array:
+    """Approximate 1-NN via whole-slab candidate fetch.
+
+    1. nearest cell per query (dense matmul + argmin)
+    2. ONE `lax.sort` by cell carrying the row id; gather query rows once
+    3. per tile of 256 sorted queries: look up the mid query's cell in the
+       probe table, gather its P (block, d) slabs — contiguous leading-axis
+       DMAs — and take the exact argmin over the P*block candidates
+    4. unsort with one int32 scatter
+
+    Same recall levers as `nn_search_windowed` (rank-neighbourhood +
+    seam partners), but zero row-level gathers in the hot path."""
+    n, d = queries.shape
+    m = index.perm.shape[0]
+    nb, blk, _ = index.keys_blocked.shape
+    p = min(probes or index.max_probes, index.max_probes)
+    q = knn._pad_axis(queries.astype(jnp.float32), 0, tile, 0.0)
+    npad = q.shape[0]
+
+    cent = index.centroids
+    cn = jnp.sum(cent * cent, axis=1)
+    cdist = cn[None, :] - 2.0 * (q @ cent.T)
+    cells = jnp.argmin(cdist, axis=1).astype(jnp.int32)
+
+    iota = jnp.arange(npad, dtype=jnp.int32)
+    cells_s, orig_id = jax.lax.sort((cells, iota), num_keys=1)
+    q_s = q[orig_id]
+
+    # slab norms: loop-invariant inside a scan (XLA hoists), one pass here
+    bn = jnp.sum(index.keys_blocked * index.keys_blocked, axis=-1)  # (nb, blk)
+
+    def body(args):
+        qt, ct = args  # (tile, d), (tile,)
+        blocks = index.probe_blocks[ct[tile // 2], :p]  # (P,)
+        cand = index.keys_blocked[blocks].reshape(p * blk, d)
+        cnorm = bn[blocks].reshape(p * blk)
+        dist = cnorm[None, :] - 2.0 * (qt @ cand.T)
+        j = jnp.argmin(dist, axis=1).astype(jnp.int32)
+        return blocks[j // blk] * blk + (j % blk)  # sorted-row id
+
+    ntiles = npad // tile
+    rows = jax.vmap(body)(
+        (q_s.reshape(ntiles, tile, d), cells_s.reshape(ntiles, tile))
+    ).reshape(-1)
+    out = jnp.zeros(npad, jnp.int32).at[orig_id].set(rows)
+    return index.perm[jnp.minimum(out[:n], m - 1)]
+
+
 @functools.partial(jax.jit, static_argnames=("window", "tile", "probes"))
 def nn_search_windowed(
     queries: jax.Array,

@@ -46,11 +46,22 @@ from midastouch_tpu.geometry import procedural  # noqa: E402
 from midastouch_tpu.geometry.mesh import sample_poses_on_mesh  # noqa: E402
 from midastouch_tpu.ops import se3  # noqa: E402
 
-KNOBS = ((2048, 2), (1024, 2), (1024, 1), (2048, 1))
+# (kind, window-or-block, probes). windowed = sorted contiguous bands
+# (round-4 default); blocked = whole-slab gathers (round-5 candidate).
+KNOBS = (
+    ("windowed", 2048, 2), ("windowed", 1024, 2), ("windowed", 1024, 1),
+    ("blocked", 2048, 2), ("blocked", 2048, 3),
+    ("blocked", 1024, 4), ("blocked", 1024, 6),
+)
+
+
+def _build_index(cb: Codebook, kind: str, size: int):
+    if kind == "blocked":
+        return cb.build_ann_index(kind="blocked", block=size, probes=6)
+    return cb.build_ann_index(kind="windowed")
 
 
 def measure_recall(cb: Codebook, n_queries: int = 50000, seed: int = 0):
-    idxr = cb.build_ann_index(kind="windowed")
     rng = np.random.default_rng(seed)
     sel = rng.integers(0, len(cb), n_queries)
     q = cb.q[sel]
@@ -61,16 +72,21 @@ def measure_recall(cb: Codebook, n_queries: int = 50000, seed: int = 0):
     exact = np.asarray(jax.jit(cb.nn_from_keys)(keys))
     t_np, out = np.asarray(cb.t), []
     d_exact = np.linalg.norm(np.asarray(t) - t_np[exact], axis=1)
-    for window, probes in KNOBS:
+    indexes = {
+        (kind, size): _build_index(cb, kind, size)
+        for kind, size, _ in KNOBS
+    }
+    for kind, window, probes in KNOBS:
+        idxr = indexes[(kind, window)]
         approx = np.asarray(jax.jit(
-            lambda k, w=window, p=probes: cb.nn_from_keys(
-                k, ann_index=idxr, ann_window=w, ann_probes=p
+            lambda k, i=idxr, w=window, p=probes: cb.nn_from_keys(
+                k, ann_index=i, ann_window=w, ann_probes=p
             )
         )(keys))
         hit = exact == approx
         infl = np.linalg.norm(np.asarray(t) - t_np[approx], axis=1) - d_exact
         r = {
-            "window": window, "probes": probes,
+            "kind": kind, "window": window, "probes": probes,
             "recall_exact_id": round(float(hit.mean()), 4),
             "miss_xyz_inflation_mm_p50": round(
                 float(np.median(infl[~hit]) * 1000), 3) if (~hit).any() else 0.0,
@@ -79,7 +95,7 @@ def measure_recall(cb: Codebook, n_queries: int = 50000, seed: int = 0):
             "xyz_inflation_mm_mean": round(float(infl.mean() * 1000), 4),
         }
         out.append(r)
-        print(f"recall w={window} p={probes}: {r}", flush=True)
+        print(f"recall {kind} w={window} p={probes}: {r}", flush=True)
     return out
 
 
@@ -122,9 +138,9 @@ def e2e_world(M=50000, N=50000, T=200):
     return mesh, cb, pf, traj, codes, oq, ot, gts, N, T
 
 
-def run_e2e(world, window, probes, exact=False):
+def run_e2e(world, kind, window, probes, exact=False):
     mesh, cb, pf, traj, codes, oq, ot, gts, N, T = world
-    ann = None if exact else cb.build_ann_index(kind="windowed")
+    ann = None if exact else _build_index(cb, kind, window)
     step = FilterStep(pf, cb.astype_embeddings(jnp.bfloat16), floor=1000,
                       ann_index=ann, ann_window=window, ann_probes=probes,
                       drift_from_codebook=True)
@@ -142,7 +158,7 @@ def run_e2e(world, window, probes, exact=False):
     wall = time.perf_counter() - t0
     rmse_t = np.asarray(seq[0]) * 1000
     return {
-        "window": window, "probes": probes, "exact": exact,
+        "kind": kind, "window": window, "probes": probes, "exact": exact,
         "steps_per_s_warm": round((T - 1) / wall, 1),
         "rmse_mm_final": round(float(rmse_t[-1]), 3),
         "rmse_mm_last25_mean": round(float(rmse_t[-25:].mean()), 3),
@@ -170,11 +186,11 @@ def main():
         results["recall"] = measure_recall(world[1])
 
     results["e2e"] = []
-    for window, probes in KNOBS:
-        r = run_e2e(world, window, probes)
+    for kind, window, probes in KNOBS:
+        r = run_e2e(world, kind, window, probes)
         results["e2e"].append(r)
-        print(f"e2e w={window} p={probes}: {r}", flush=True)
-    r = run_e2e(world, 0, 0, exact=True)
+        print(f"e2e {kind} w={window} p={probes}: {r}", flush=True)
+    r = run_e2e(world, "exact", 0, 0, exact=True)
     results["e2e"].append(r)
     print(f"e2e exact: {r}", flush=True)
 

@@ -92,6 +92,49 @@ def test_windowed_nn_recall(rng):
     assert np.mean(d_a - d_e) < 5e-5, f"3-probe mean regret {np.mean(d_a - d_e)}"
 
 
+def test_blocked_nn_recall(rng):
+    from midastouch_tpu.ops.ann import build_blocked_index, nn_search_blocked
+
+    keys = _codebook_keys(rng, 8000)
+    queries = _codebook_keys(rng, 4000) + rng.normal(
+        size=(4000, 6)
+    ).astype(np.float32) * 1e-3
+    index = build_blocked_index(keys, num_cells=256, block=1024, probes=6)
+    _, exact = knn.nn_search(jnp.asarray(queries), jnp.asarray(keys), backend="xla")
+    exact = np.asarray(exact)
+    d_e = np.linalg.norm(keys[exact] - queries, axis=1)
+
+    approx3 = np.asarray(
+        nn_search_blocked(jnp.asarray(queries), index, tile=256, probes=3)
+    )
+    recall3 = np.mean(approx3 == exact)
+    assert recall3 > 0.9, f"3-slab recall {recall3}"
+
+    approx6 = np.asarray(
+        nn_search_blocked(jnp.asarray(queries), index, tile=256, probes=6)
+    )
+    recall6 = np.mean(approx6 == exact)
+    d_a = np.linalg.norm(keys[approx6] - queries, axis=1)
+    assert recall6 > 0.98, f"6-slab recall {recall6}"
+    assert recall6 >= recall3
+    assert np.mean(d_a - d_e) < 5e-5, f"6-slab mean regret {np.mean(d_a - d_e)}"
+
+
+def test_blocked_self_queries(rng):
+    """Stored keys must come back at distance 0, incl. tiny codebooks
+    where the table is a single partial slab."""
+    from midastouch_tpu.ops.ann import build_blocked_index, nn_search_blocked
+
+    for m, blk in ((3000, 1024), (700, 1024), (120, 64)):
+        keys = _codebook_keys(rng, m)
+        index = build_blocked_index(keys, num_cells=64, block=blk, probes=3)
+        got = np.asarray(
+            nn_search_blocked(jnp.asarray(keys[:256]), index, tile=128)
+        )
+        d = np.linalg.norm(keys[got] - keys[:256], axis=1)
+        assert d.max() < 1e-6, f"m={m} blk={blk} max d {d.max()}"
+
+
 def test_hilbert_order_unit_steps():
     """Defining property of the Hilbert curve: consecutive ranks on a dense
     grid are spatially adjacent (unit steps) — Morton order is not."""
