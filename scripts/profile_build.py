@@ -79,7 +79,10 @@ def main():
             (poses, press, lights, ang, col, bgs),
         )
 
-    def render_tdn(poses, press, lights, ang, col, bgs):
+    # weights enter as a traced ARGUMENT: closing over them would bake
+    # 292 MB of constants into the compile payload, which the tunnel's
+    # remote-compile endpoint rejects (HTTP 413)
+    def render_tdn(tdn_vars, poses, press, lights, ang, col, bgs):
         rgb, hm, mask, _p, cam = jax.lax.map(
             lambda a: renderer._render_impl(*a),
             (poses, press, lights, ang, col, bgs),
@@ -87,7 +90,7 @@ def main():
         imgs = jax.vmap(
             lambda im: image_ops.normalize_image(im, tdn.input_norm)
         )(rgb * 255.0)
-        return tdn.model.apply(tdn.variables, imgs, train=False)
+        return tdn.model.apply(tdn_vars, imgs, train=False)
 
     from midastouch_tpu.apps.build_codebook import _fused_sensing_inputs
 
@@ -96,7 +99,7 @@ def main():
     results = {"obj": obj, "chunk": CHUNK, "faces_culled":
                int(renderer.max_faces_eff), "stages_ms": {}}
     r_ms = timeit(jax.jit(render_only), *args) * 1000
-    rt_ms = timeit(jax.jit(render_tdn), *args) * 1000
+    rt_ms = timeit(jax.jit(render_tdn), tdn.variables, *args) * 1000
     f_ms = timeit(lambda *a: fused(tdn.variables, *a), *args) * 1000
 
     def full_host(*a):
